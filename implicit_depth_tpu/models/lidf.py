@@ -1,0 +1,373 @@
+"""LIDF stage 1: local implicit depth function, static-shape TPU pipeline.
+
+Parity map to the reference ``LIDF`` (src/models/pipeline.py:31-711):
+
+  prepare_data / get_valid_points / get_occ_vox_bound / get_miss_ray /
+  compute_ray_aabb / compute_gt      -> ``prepare_inputs`` (pure geometry,
+                                        static shapes, no parameters)
+  get_embedding / get_pred            -> ``LIDFModel.__call__``
+  compute_loss                        -> ``lidf_loss``
+
+Differences by design (see ARCHITECTURE.md):
+  * occupied voxels live in a dense (B, G³) occupancy mask;
+  * ray/voxel pairs live in a static (B, R, K) tensor from DDA traversal,
+    so all per-ray reductions are masked row ops;
+  * RGB ROI features are computed per RAY and broadcast over the K pair
+    slots (the box only depends on the ray's pixel — the reference
+    recomputes it per pair);
+  * degenerate stages (no voxels / rays / pairs) yield masked-out slots and
+    zero loss instead of the DDP consensus protocol (pipeline.py:662-701);
+  * the ROI feature vector is a spatial-major permutation of the reference's
+    channel-major flatten — irrelevant when training from scratch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from implicit_depth_tpu.geometry.rays import ray_dir_map
+from implicit_depth_tpu.geometry.sampling import (
+    sample_masked_window,
+    sample_valid_stratified,
+)
+from implicit_depth_tpu.geometry.voxel import VoxelGrid, voxelize_points
+from implicit_depth_tpu.models.embedder import posenc_dim, positional_encoding
+from implicit_depth_tpu.models.imnet import IEF, IMNet
+from implicit_depth_tpu.models.pointnet import PointNet2Stage
+from implicit_depth_tpu.models.resnet import ResNet34_8s
+from implicit_depth_tpu.ops.masked import (
+    masked_argmax,
+    masked_log_softmax,
+    masked_softmax,
+)
+from implicit_depth_tpu.ops.ray_grid import ray_grid_intersect
+from implicit_depth_tpu.ops.roi_align import roi_window_pool
+
+
+@dataclasses.dataclass(frozen=True)
+class LIDFStatic:
+    """Static (python) shape/geometry configuration shared by prepare/model."""
+
+    grid: VoxelGrid
+    n_valid: int = 10000       # grid.valid_sample_num
+    n_rays: int = 20000        # grid.miss_sample_num (train); H*W at eval
+    k_pairs: int = 20          # tpu.max_pairs_per_ray
+    roi_inp_bbox: int = 8
+    roi_out_bbox: int = 2
+
+
+def prepare_inputs(static: LIDFStatic,
+                   batch: Dict[str, jnp.ndarray],
+                   key: jax.Array,
+                   train: bool,
+                   mask_type: str = "all",
+                   pred_mask: Optional[jnp.ndarray] = None) -> Dict[str, jnp.ndarray]:
+    """Geometry stage: sampling, voxelization, ray-grid pairs, GT labels.
+
+    batch: rgb (B,H,W,3) standardized; xyz / xyz_corrupt (B,H,W,3);
+           depth_corrupt (B,H,W); corrupt_mask / valid_mask (B,H,W) {0,1};
+           fx, fy, cx, cy (B,).
+    """
+    grid = static.grid
+    rgb = batch["rgb"]
+    b, h, w, _ = rgb.shape
+    corrupt_mask = batch["corrupt_mask"] > 0.5
+
+    # --- masks (prepare_data, pipeline.py:91-135) --------------------------
+    if train:
+        miss_mask = corrupt_mask
+        valid_mask = batch["valid_mask"] > 0.5
+    elif mask_type == "pred":
+        assert pred_mask is not None
+        miss_mask = pred_mask > 0.5
+        valid_mask = ~miss_mask
+    else:  # 'all': every zero-input-depth pixel is a ray
+        miss_mask = jnp.ones((b, h, w), bool)
+        valid_mask = batch["depth_corrupt"] != 0
+
+    k_valid, k_miss = jax.random.split(key)
+
+    # --- valid points (get_valid_points, :137-160) -------------------------
+    vidx, vslot, _ = sample_valid_stratified(valid_mask, static.n_valid, k_valid)
+    take_pix = lambda img_flat, idx: jnp.take_along_axis(img_flat, idx[..., None], axis=1)
+    xyz_corrupt_flat = batch["xyz_corrupt"].reshape(b, h * w, 3)
+    valid_xyz = take_pix(xyz_corrupt_flat, vidx)
+    valid_rgb = take_pix(rgb.reshape(b, h * w, 3), vidx)
+
+    # --- occupied voxels (get_occ_vox_bound, :162-201) ---------------------
+    vox = voxelize_points(grid, valid_xyz, vslot)
+
+    # --- miss rays (get_miss_ray, :203-269) --------------------------------
+    dirs = ray_dir_map(h, w, batch["fx"], batch["fy"], batch["cx"], batch["cy"])
+    dirs_flat = dirs.reshape(b, h * w, 3)
+    if train:
+        midx, mslot, _ = sample_masked_window(miss_mask.reshape(b, -1),
+                                              static.n_rays, k_miss)
+    else:
+        midx = jnp.broadcast_to(jnp.arange(h * w, dtype=jnp.int32)[None], (b, h * w))
+        mslot = miss_mask.reshape(b, -1)
+    miss_dir = take_pix(dirs_flat, midx)
+    miss_px = (midx % w).astype(jnp.int32)
+    miss_py = (midx // w).astype(jnp.int32)
+
+    # --- ray/voxel pairs (compute_ray_aabb, :271-296) ----------------------
+    pairs = ray_grid_intersect(grid, miss_dir, vox["occupancy"],
+                               static.k_pairs, ray_mask=mslot)
+
+    # --- ground truth (compute_gt, :298-336): point-in-voxel is a floor ----
+    gt_pos = take_pix(batch["xyz"].reshape(b, h * w, 3), midx)
+    gt_ijk = grid.cell_of(gt_pos)
+    gt_in = grid.in_bounds(gt_ijk)
+    gt_cell = jnp.where(gt_in, grid.linear_id(gt_ijk), -1)
+    pair_label = pairs["valid"] & (pairs["cell_id"] == gt_cell[..., None])
+
+    return {
+        "rgb": rgb,
+        "xyz_flat": batch["xyz"].reshape(b, h * w, 3),
+        "xyz_corrupt_flat": xyz_corrupt_flat,
+        "corrupt_mask": batch["corrupt_mask"],
+        "valid_xyz": valid_xyz,
+        "valid_rgb": valid_rgb,
+        "valid_slot": vslot,
+        "vox_cell_id": vox["cell_id"],
+        "vox_point_valid": vox["valid"],
+        "vox_rel_coord": vox["rel_coord"],
+        "occupancy": vox["occupancy"],
+        "miss_idx": midx,
+        "miss_slot": mslot,
+        "miss_dir": miss_dir,
+        "miss_px": miss_px,
+        "miss_py": miss_py,
+        "pair_cell": pairs["cell_id"],
+        "pair_valid": pairs["valid"],
+        "t_enter": pairs["t_enter"],
+        "t_exit": pairs["t_exit"],
+        "gt_pos": gt_pos,
+        "pair_label": pair_label,
+    }
+
+
+class LIDFModel(nn.Module):
+    """Parameterized stage-1 compute (get_embedding + get_pred)."""
+
+    static: LIDFStatic
+    rgb_out: int = 32
+    pnet_out: int = 128
+    pnet_gf: int = 32
+    imnet_gf: int = 64
+    multires: int = 8
+    multires_views: int = 4
+    pos_encode: bool = True
+    intersect_pos_type: str = "abs"   # 'abs' | 'rel' (pipeline.py:355-360)
+    offdec_type: str = "IEF"
+    n_iter: int = 2
+    use_sigmoid: bool = False
+    offset_range: tuple = (0.0, 1.0)
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.resnet = ResNet34_8s(out_ch=self.rgb_out, dtype=self.dtype)
+        self.pnet = PointNet2Stage(out_channels=self.pnet_out, gf_dim=self.pnet_gf,
+                                   dtype=self.dtype)
+        if self.offdec_type == "IEF":
+            self.offset_dec = IEF(out_dim=1, gf_dim=self.imnet_gf, n_iter=self.n_iter,
+                                  use_sigmoid=self.use_sigmoid, dtype=self.dtype)
+        else:
+            self.offset_dec = IMNet(out_dim=1, gf_dim=self.imnet_gf,
+                                    use_sigmoid=self.use_sigmoid, dtype=self.dtype)
+        self.prob_dec = IMNet(out_dim=1, gf_dim=self.imnet_gf,
+                              use_sigmoid=self.use_sigmoid, dtype=self.dtype)
+
+    def voxel_features(self, inputs) -> jnp.ndarray:
+        """(B*G³, pnet_out) voxel features from the sampled valid points."""
+        grid = self.static.grid
+        b = inputs["valid_xyz"].shape[0]
+        pnet_inp = jnp.concatenate([inputs["vox_rel_coord"], inputs["valid_rgb"]], -1)
+        seg = (jnp.arange(b, dtype=jnp.int32)[:, None] * grid.n_cells
+               + inputs["vox_cell_id"])
+        return self.pnet(pnet_inp.reshape(b * self.static.n_valid, -1),
+                         seg.reshape(-1), b * grid.n_cells,
+                         valid=inputs["vox_point_valid"].reshape(-1))
+
+    def __call__(self, inputs: Dict[str, jnp.ndarray], train: bool,
+                 use_gt_label) -> Dict[str, jnp.ndarray]:
+        grid = self.static.grid
+        b, r, k = inputs["pair_valid"].shape
+
+        # RGB backbone + per-ray ROI feature (broadcast over K pair slots).
+        feat_map = self.resnet(inputs["rgb"], train=train)
+        pix_xy = jnp.stack([inputs["miss_px"], inputs["miss_py"]], axis=-1)
+        bidx = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None], (b, r))
+        roi = roi_window_pool(feat_map, pix_xy, bidx,
+                              inp_bbox=self.static.roi_inp_bbox,
+                              out_bbox=self.static.roi_out_bbox)
+        roi = roi.reshape(b, r, -1)                               # (B, R, 128)
+
+        # Voxel features gathered per pair.
+        vox_feat = self.voxel_features(inputs)
+        global_cell = (jnp.arange(b, dtype=jnp.int32)[:, None, None] * grid.n_cells
+                       + inputs["pair_cell"])
+        pair_vox = vox_feat[global_cell]                          # (B, R, K, 128)
+
+        # Positional encodings (pipeline.py:343-365).
+        dirs = inputs["miss_dir"]
+        enter = dirs[:, :, None, :] * inputs["t_enter"][..., None]
+        leave = dirs[:, :, None, :] * inputs["t_exit"][..., None]
+        if self.intersect_pos_type == "rel":
+            center = grid.cell_center(grid.unlinear(inputs["pair_cell"]))
+            enter, leave = enter - center, leave - center
+        enter_e = positional_encoding(enter, self.multires, self.pos_encode)
+        leave_e = positional_encoding(leave, self.multires, self.pos_encode)
+        dir_e = positional_encoding(dirs, self.multires_views, self.pos_encode)
+
+        embed = jnp.concatenate([
+            pair_vox,
+            jnp.broadcast_to(roi[:, :, None, :], (b, r, k, roi.shape[-1])),
+            enter_e, leave_e,
+            jnp.broadcast_to(dir_e[:, :, None, :], (b, r, k, dir_e.shape[-1])),
+        ], axis=-1).astype(self.dtype)
+
+        # Per-pair decoders (get_pred, pipeline.py:427-466).
+        pred_offset = self.offset_dec(embed)[..., 0]              # (B, R, K)
+        prob_logit = self.prob_dec(embed)[..., 0]                 # (B, R, K)
+
+        lo, hi = self.offset_range
+        scaled = (pred_offset * (hi - lo) + lo) * np.sqrt(3.0) * grid.part_size
+        pair_pred_pos = enter + scaled[..., None] * dirs[:, :, None, :]
+
+        # Termination voxel: softmax over detached logits; GT-label argmax
+        # during the curriculum (maxpool_label_epo).
+        prob_softmax = masked_softmax(jax.lax.stop_gradient(prob_logit),
+                                      inputs["pair_valid"])
+        gt_slot, _ = masked_argmax(inputs["pair_label"].astype(jnp.float32),
+                                   inputs["pair_valid"])
+        pr_slot, has_pair = masked_argmax(prob_softmax, inputs["pair_valid"])
+        use_gt = jnp.asarray(use_gt_label) & jnp.asarray(train)
+        max_slot = jnp.where(use_gt, gt_slot, pr_slot)
+
+        pred_pos = jnp.take_along_axis(
+            pair_pred_pos, max_slot[..., None, None], axis=2)[:, :, 0]
+        pred_pos = jnp.where(has_pair[..., None], pred_pos, 0.0)  # dummy row ≙ :452-454
+
+        return {
+            "feat_map": feat_map,
+            "vox_feat": vox_feat,
+            "roi_feat": roi,
+            "prob_logit": prob_logit,
+            "prob_softmax": prob_softmax,
+            "pair_pred_pos": pair_pred_pos,
+            "max_slot": max_slot,
+            "has_pair": has_pair,
+            "pred_pos": pred_pos,
+        }
+
+
+def masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    num = jnp.sum(jnp.where(mask, x, 0.0))
+    den = jnp.maximum(jnp.sum(mask.astype(x.dtype)), 1.0)
+    return num / den
+
+
+def hard_neg_mean(x: jnp.ndarray, mask: jnp.ndarray, ratio: float) -> jnp.ndarray:
+    """Mean of the top-``ratio`` fraction of masked values.
+
+    Under GSPMD jit the arrays are global, so this IS the distributed
+    hard-negative top-k (the reference only does a per-rank local top-k,
+    pipeline.py:475-478).
+    """
+    flat = jnp.where(mask, x, -jnp.inf).reshape(-1)
+    k = max(int(flat.shape[0] * ratio), 1)
+    top, _ = jax.lax.top_k(flat, k)
+    ok = jnp.isfinite(top)
+    return jnp.sum(jnp.where(ok, top, 0.0)) / jnp.maximum(jnp.sum(ok), 1)
+
+
+def scatter_into_image(base_flat: jnp.ndarray, idx: jnp.ndarray,
+                       slot: jnp.ndarray, values: jnp.ndarray) -> jnp.ndarray:
+    """Write values into (B, H*W, C) at per-image flat indices, masked."""
+    hw = base_flat.shape[1]
+    safe_idx = jnp.where(slot, idx, hw)  # out-of-bounds rows are dropped
+    return jax.vmap(lambda img, i, v: img.at[i].set(v, mode="drop"))(
+        base_flat, safe_idx, values)
+
+
+def lidf_loss(inputs: Dict[str, jnp.ndarray],
+              outputs: Dict[str, jnp.ndarray],
+              *,
+              train: bool,
+              img_hw: tuple,
+              pos_w: float = 100.0,
+              prob_w: float = 0.5,
+              surf_norm_w: float = 10.0,
+              smooth_w: float = 0.0,
+              surf_norm_on=True,
+              smooth_on=True,
+              hard_neg: bool = False,
+              hard_neg_ratio: float = 0.1) -> Dict[str, jnp.ndarray]:
+    """compute_loss parity (pipeline.py:468-567) with masked static shapes."""
+    from implicit_depth_tpu.geometry.normals import surface_normals
+
+    h, w = img_hw
+    slot = inputs["miss_slot"]
+    b = slot.shape[0]
+    gt_pos, pred_pos = inputs["gt_pos"], outputs["pred_pos"]
+
+    reduce = ((lambda v, m: hard_neg_mean(v, m, hard_neg_ratio))
+              if hard_neg else masked_mean)
+
+    # position L1 (pipeline.py:471-478)
+    pos_l1 = jnp.mean(jnp.abs(pred_pos - gt_pos), axis=-1)
+    pos_loss = reduce(pos_l1, slot)
+
+    # per-ray termination CE (pipeline.py:480-490)
+    log_sm = masked_log_softmax(outputs["prob_logit"], inputs["pair_valid"])
+    has_label = jnp.any(inputs["pair_label"], axis=-1)
+    gt_slot, _ = masked_argmax(inputs["pair_label"].astype(jnp.float32),
+                               inputs["pair_valid"])
+    ce = -jnp.take_along_axis(log_sm, gt_slot[..., None], axis=-1)[..., 0]
+    prob_loss = reduce(ce, slot & has_label)
+
+    # surface-normal + smoothness (pipeline.py:492-546)
+    base = inputs["xyz_flat"] if train else inputs["xyz_corrupt_flat"]
+    gt_img = scatter_into_image(base, inputs["miss_idx"], slot, gt_pos)
+    pr_img = scatter_into_image(base, inputs["miss_idx"], slot, pred_pos)
+    gt_n, _, _ = surface_normals(gt_img.reshape(b, h, w, 3))
+    pr_n, dx, dy = surface_normals(pr_img.reshape(b, h, w, 3))
+    take = lambda img_flat: jnp.take_along_axis(
+        img_flat, inputs["miss_idx"][..., None], axis=1)
+    cos = jnp.sum(take(gt_n.reshape(b, -1, 3)) * take(pr_n.reshape(b, -1, 3)), -1)
+    surf_dist = (1.0 - cos) / 2.0
+    surf_norm_loss = reduce(surf_dist, slot)
+    angle_err = masked_mean(jnp.arccos(jnp.clip(cos, -1, 1)), slot) / np.pi * 180.0
+
+    dx2 = take(jnp.sum(dx * dx, -1).reshape(b, -1, 1))[..., 0]
+    dy2 = take(jnp.sum(dy * dy, -1).reshape(b, -1, 1))[..., 0]
+    smooth_loss = reduce(dx2, slot) + reduce(dy2, slot)
+
+    loss_net = (pos_w * pos_loss + prob_w * prob_loss
+                + surf_norm_w * jnp.asarray(surf_norm_on, jnp.float32) * surf_norm_loss
+                + smooth_w * jnp.asarray(smooth_on, jnp.float32) * smooth_loss)
+
+    # metrics (pipeline.py:549-566)
+    pr_slot, _ = masked_argmax(outputs["prob_softmax"], inputs["pair_valid"])
+    acc = masked_mean((pr_slot == gt_slot).astype(jnp.float32), slot)
+    nz = (jnp.sum(jnp.abs(gt_pos), -1) != 0) & slot
+    l2 = jnp.sqrt(jnp.sum((pred_pos - gt_pos) ** 2, -1))
+    err = masked_mean(l2, nz)
+
+    return {
+        "pos_loss": pos_loss,
+        "prob_loss": prob_loss,
+        "surf_norm_loss": surf_norm_loss,
+        "smooth_loss": smooth_loss,
+        "loss_net": loss_net,
+        "acc": acc,
+        "err": err,
+        "angle_err": angle_err,
+    }

@@ -1,0 +1,198 @@
+"""RefineNet stage 2: iterative offset refinement.
+
+Parity: reference ``RefineNet`` (src/models/pipeline.py:714-1041). Each of
+``forward_times`` iterations:
+  1. (train, iter 0 only) perturb the stage-1 prediction along the ray with a
+     per-image scalar noise drawn from the reference's 4-bucket mixture
+     (pipeline.py:926-937);
+  2. re-localize each predicted point's ending voxel: the reference runs the
+     pcl_aabb CUDA kernel + a scatter-max merge (pipeline.py:939-944); for a
+     dense grid this is a ``floor`` — if the predicted point lands in an
+     occupied in-bounds cell use it, else keep the stage-1 argmax-pair voxel
+     (the reference's scatter(reduce='max') instead takes the elementwise max
+     of the two voxel *indices*, an artifact of its compressed voxel list —
+     we use the cleaner containment rule);
+  3. inject the predicted points into the PointNet input so voxel features
+     see them (pipeline.py:999-1016);
+  4. re-embed (pos-enc of predicted point, ray dir, stage-1 per-ray ROI RGB
+     feature — identical boxes, so it is reused rather than recomputed) and
+     decode a signed offset in ``offset_range`` meters along the ray.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from implicit_depth_tpu.models.embedder import positional_encoding
+from implicit_depth_tpu.models.imnet import IEF, IMNet
+from implicit_depth_tpu.models.lidf import LIDFStatic
+from implicit_depth_tpu.models.pointnet import PointNet2Stage
+
+
+def perturb_pred_pos(key: jax.Array, pred_pos: jnp.ndarray, miss_dir: jnp.ndarray,
+                     perturb_prob: float = 0.8) -> jnp.ndarray:
+    """Reference noise mixture (pipeline.py:926-937), one scalar per image."""
+    b = pred_pos.shape[0]
+    k1, k2, k3 = jax.random.split(key, 3)
+    apply = jax.random.uniform(k1, (b,)) < perturb_prob
+    bucket = jax.random.uniform(k2, (b,))
+    u = jax.random.uniform(k3, (b,))
+    noise = jnp.where(
+        bucket < 0.5, u * 0.05 - 0.05,
+        jnp.where(bucket < 0.8, u * 0.05,
+                  jnp.where(bucket < 0.9, -0.1 + u * 0.05, 0.05 + u * 0.05)))
+    noise = jnp.where(apply, noise, 0.0)
+    return pred_pos + noise[:, None, None] * miss_dir
+
+
+class RefineModel(nn.Module):
+    """One refinement iteration (get_pred_refine, pipeline.py:922-1030)."""
+
+    static: LIDFStatic
+    pnet_out: int = 128
+    pnet_gf: int = 32
+    imnet_gf: int = 64
+    multires: int = 8
+    multires_views: int = 4
+    pos_encode: bool = True
+    intersect_pos_type: str = "abs"
+    pnet_pos_type: str = "rel"
+    offdec_type: str = "IEF"
+    n_iter: int = 2
+    use_sigmoid: bool = False
+    offset_range: tuple = (-0.2, 0.2)
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.pnet = PointNet2Stage(out_channels=self.pnet_out, gf_dim=self.pnet_gf,
+                                   dtype=self.dtype)
+        if self.offdec_type == "IEF":
+            self.offset_dec = IEF(out_dim=1, gf_dim=self.imnet_gf, n_iter=self.n_iter,
+                                  use_sigmoid=self.use_sigmoid, dtype=self.dtype)
+        else:
+            self.offset_dec = IMNet(out_dim=1, gf_dim=self.imnet_gf,
+                                    use_sigmoid=self.use_sigmoid, dtype=self.dtype)
+
+    def __call__(self, inputs: Dict[str, jnp.ndarray],
+                 lidf_out: Dict[str, jnp.ndarray],
+                 pred_pos: jnp.ndarray) -> jnp.ndarray:
+        grid = self.static.grid
+        b, r, _ = pred_pos.shape
+        n = self.static.n_valid
+
+        # -- end-voxel re-localization (pipeline.py:939-944) ----------------
+        ijk = grid.cell_of(pred_pos)
+        inb = grid.in_bounds(ijk)
+        cand = jnp.where(inb, grid.linear_id(ijk), 0)
+        occ = jnp.take_along_axis(inputs["occupancy"], cand, axis=1)
+        contained = inb & occ
+        fallback = jnp.take_along_axis(inputs["pair_cell"],
+                                       lidf_out["max_slot"][..., None], axis=2)[..., 0]
+        end_cell = jnp.where(contained, cand, fallback)
+        end_center = grid.cell_center(grid.unlinear(end_cell), pred_pos.dtype)
+
+        # -- PointNet with injected predictions (pipeline.py:999-1016) ------
+        miss_rgb = jnp.take_along_axis(inputs["rgb"].reshape(b, -1, 3),
+                                       inputs["miss_idx"][..., None], axis=1)
+        if self.pnet_pos_type == "rel":
+            pred_inp = jnp.concatenate([pred_pos - end_center, miss_rgb], -1)
+            valid_inp = jnp.concatenate([inputs["vox_rel_coord"],
+                                         inputs["valid_rgb"]], -1)
+        else:
+            pred_inp = jnp.concatenate([pred_pos, miss_rgb], -1)
+            valid_inp = jnp.concatenate([inputs["valid_xyz"], inputs["valid_rgb"]], -1)
+
+        base = jnp.arange(b, dtype=jnp.int32)[:, None] * grid.n_cells
+        seg_valid = base + inputs["vox_cell_id"]
+        seg_pred = base + end_cell
+        all_inp = jnp.concatenate([valid_inp.reshape(b * n, -1),
+                                   pred_inp.reshape(b * r, -1)], 0)
+        all_seg = jnp.concatenate([seg_valid.reshape(-1), seg_pred.reshape(-1)], 0)
+        all_ok = jnp.concatenate([inputs["vox_point_valid"].reshape(-1),
+                                  (inputs["miss_slot"] & lidf_out["has_pair"]).reshape(-1)], 0)
+        vox_feat = self.pnet(all_inp, all_seg, b * grid.n_cells, valid=all_ok)
+        end_feat = vox_feat[seg_pred]                                # (B, R, 128)
+
+        # -- embedding + decode (pipeline.py:1018-1029) ---------------------
+        pos_inp = pred_pos - end_center if self.intersect_pos_type == "rel" else pred_pos
+        pos_e = positional_encoding(pos_inp, self.multires, self.pos_encode)
+        dir_e = positional_encoding(inputs["miss_dir"], self.multires_views,
+                                    self.pos_encode)
+        embed = jnp.concatenate([end_feat, lidf_out["roi_feat"], pos_e, dir_e],
+                                -1).astype(self.dtype)
+        off = self.offset_dec(embed)[..., 0]
+        lo, hi = self.offset_range
+        scaled = off * (hi - lo) + lo
+        return pred_pos + scaled[..., None] * inputs["miss_dir"]
+
+
+def refine_forward(model: RefineModel, params, inputs, lidf_out,
+                   forward_times: int, train: bool,
+                   perturb_key: jax.Array | None = None,
+                   perturb_prob: float = 0.8) -> jnp.ndarray:
+    """forward_times iterations (pipeline.py:1032-1041); perturb iter 0 only."""
+    pred = lidf_out["pred_pos"]
+    for it in range(forward_times):
+        if train and it == 0 and perturb_key is not None:
+            pred = perturb_pred_pos(perturb_key, pred, inputs["miss_dir"], perturb_prob)
+        pred = model.apply(params, inputs, lidf_out, pred)
+    return pred
+
+
+def refine_loss(inputs, pred_pos_refine, *, train, img_hw,
+                pos_w=100.0, surf_norm_w=10.0, smooth_w=0.0,
+                surf_norm_on=True, smooth_on=True,
+                hard_neg=False, hard_neg_ratio=0.1) -> Dict[str, jnp.ndarray]:
+    """Stage-2 loss (pipeline.py:760-919): position + normals, no prob CE."""
+    import numpy as np
+    from implicit_depth_tpu.geometry.normals import surface_normals
+    from implicit_depth_tpu.models.lidf import (
+        hard_neg_mean,
+        masked_mean,
+        scatter_into_image,
+    )
+
+    h, w = img_hw
+    slot = inputs["miss_slot"]
+    b = slot.shape[0]
+    gt_pos = inputs["gt_pos"]
+    reduce = ((lambda v, m: hard_neg_mean(v, m, hard_neg_ratio))
+              if hard_neg else masked_mean)
+
+    pos_l1 = jnp.mean(jnp.abs(pred_pos_refine - gt_pos), axis=-1)
+    pos_loss = reduce(pos_l1, slot)
+
+    base = inputs["xyz_flat"] if train else inputs["xyz_corrupt_flat"]
+    gt_img = scatter_into_image(base, inputs["miss_idx"], slot, gt_pos)
+    pr_img = scatter_into_image(base, inputs["miss_idx"], slot, pred_pos_refine)
+    gt_n, _, _ = surface_normals(gt_img.reshape(b, h, w, 3))
+    pr_n, dx, dy = surface_normals(pr_img.reshape(b, h, w, 3))
+    take = lambda img_flat: jnp.take_along_axis(
+        img_flat, inputs["miss_idx"][..., None], axis=1)
+    cos = jnp.sum(take(gt_n.reshape(b, -1, 3)) * take(pr_n.reshape(b, -1, 3)), -1)
+    surf_norm_loss = reduce((1.0 - cos) / 2.0, slot)
+    angle_err = masked_mean(jnp.arccos(jnp.clip(cos, -1, 1)), slot) / np.pi * 180.0
+    dx2 = take(jnp.sum(dx * dx, -1).reshape(b, -1, 1))[..., 0]
+    dy2 = take(jnp.sum(dy * dy, -1).reshape(b, -1, 1))[..., 0]
+    smooth_loss = reduce(dx2, slot) + reduce(dy2, slot)
+
+    loss_net = (pos_w * pos_loss
+                + surf_norm_w * jnp.asarray(surf_norm_on, jnp.float32) * surf_norm_loss
+                + smooth_w * jnp.asarray(smooth_on, jnp.float32) * smooth_loss)
+
+    nz = (jnp.sum(jnp.abs(gt_pos), -1) != 0) & slot
+    l2 = jnp.sqrt(jnp.sum((pred_pos_refine - gt_pos) ** 2, -1))
+    err = masked_mean(l2, nz)
+    return {
+        "pos_loss": pos_loss,
+        "surf_norm_loss": surf_norm_loss,
+        "smooth_loss": smooth_loss,
+        "loss_net": loss_net,
+        "err": err,
+        "angle_err": angle_err,
+    }

@@ -1,0 +1,22 @@
+"""Test config: run everything on a virtual 8-device CPU mesh."""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# Force CPU: the surrounding environment pins JAX_PLATFORMS=axon (remote TPU
+# tunnel), which must not be used for unit tests.
+os.environ["JAX_PLATFORMS"] = "cpu"
+# persistent compile cache makes repeated test runs much faster
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,56 @@
+import textwrap
+
+from implicit_depth_tpu.config import Config, default_config, load_config
+
+
+def test_defaults_attribute_access():
+    cfg = default_config()
+    assert cfg.model.rgb_out == 32
+    assert cfg.grid.miss_sample_num == 20000
+    assert cfg.tpu.max_pairs_per_ray == 20
+
+
+def test_overlay(tmp_path):
+    p = tmp_path / "exp.yaml"
+    p.write_text(textwrap.dedent("""
+        trainer_name: lidf
+        model:
+          rgb_out: 16
+        grid:
+          res: 4
+    """))
+    cfg = load_config(str(p))
+    assert cfg.trainer_name == "lidf"
+    assert cfg.model.rgb_out == 16
+    assert cfg.grid.res == 4
+    assert cfg.model.pnet_out == 128  # untouched default
+
+
+def test_interpolation(tmp_path):
+    p = tmp_path / "exp.yaml"
+    p.write_text(textwrap.dedent("""
+        base_log_dir: /tmp/logs
+        log_name: run1
+        checkpoint_path: ${base_log_dir}/${log_name}/ckpt
+    """))
+    cfg = load_config(str(p))
+    assert cfg.checkpoint_path == "/tmp/logs/run1/ckpt"
+
+
+def test_overrides():
+    cfg = load_config(overrides={"grid": {"res": 2}, "debug": True})
+    assert cfg.grid.res == 2 and cfg.debug is True
+
+
+def test_roundtrip(tmp_path):
+    cfg = default_config()
+    cfg.training.lr = 0.01
+    path = tmp_path / "dump.yaml"
+    cfg.save(str(path))
+    cfg2 = load_config(str(path))
+    assert cfg2.training.lr == 0.01
+
+
+def test_flat_items():
+    cfg = Config({"a": {"b": 1}, "c": 2})
+    assert dict(cfg.flat_items()) == {"a.b": 1, "c": 2}

