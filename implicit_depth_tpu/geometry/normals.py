@@ -21,8 +21,14 @@ def image_gradients(x: jnp.ndarray):
 
 
 def surface_normals(pcl: jnp.ndarray, eps: float = 1e-8):
-    """pcl: (B, H, W, 3) -> (normal (B,H,W,3), dx, dy)."""
+    """pcl: (B, H, W, 3) -> (normal (B,H,W,3), dx, dy).
+
+    The norm uses sqrt(sum² + eps²) rather than ‖·‖+eps: jnp.linalg.norm has
+    a NaN gradient at exactly 0, and zero cross products are guaranteed
+    (image border rows/cols have zero gradients by construction) — the naive
+    form NaN-poisons the whole backward pass.
+    """
     dx, dy = image_gradients(pcl)
     n = jnp.cross(dx, dy)
-    n = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + eps)
-    return n, dx, dy
+    norm = jnp.sqrt(jnp.sum(n * n, axis=-1, keepdims=True) + eps * eps)
+    return n / norm, dx, dy

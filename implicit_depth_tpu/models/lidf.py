@@ -169,10 +169,12 @@ class LIDFModel(nn.Module):
     n_iter: int = 2
     use_sigmoid: bool = False
     offset_range: tuple = (0.0, 1.0)
+    resnet_stages: tuple = (3, 4, 6, 3)
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.resnet = ResNet34_8s(out_ch=self.rgb_out, dtype=self.dtype)
+        self.resnet = ResNet34_8s(out_ch=self.rgb_out, stage_sizes=self.resnet_stages,
+                                  dtype=self.dtype)
         self.pnet = PointNet2Stage(out_channels=self.pnet_out, gf_dim=self.pnet_gf,
                                    dtype=self.dtype)
         if self.offdec_type == "IEF":

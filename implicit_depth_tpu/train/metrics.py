@@ -1,0 +1,112 @@
+"""Evaluation metrics and meters.
+
+Parity: the ClearGrasp protocol hard-coded in the reference
+(src/models/pipeline.py:571-618): depth maps resized to 256×144 with
+cv2 INTER_NEAREST, masked by (gt>0) ∧ transparent seg mask, then
+RMSE / rmse_log / log10 / abs_rel / MAE / sq_rel / δ<1.05 / 1.10 / 1.25.
+
+Note: the reference's ``safe_log10`` is actually ln (pipeline.py:607), so its
+"log10" column is off by ln(10). We compute a true log10 — protocol, not bug
+(SURVEY.md §5.5) — and additionally report ``log10_ln`` for direct comparison
+against numbers produced by the reference code.
+
+``AverageValueMeter`` parity: src/utils/training_utils.py:74-89.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import cv2
+import numpy as np
+
+EVAL_W, EVAL_H = 256, 144
+
+
+class AverageValueMeter:
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.n = 0
+        self.sum = 0.0
+
+    def add(self, value, n: int = 1):
+        self.sum += float(value) * n
+        self.n += n
+
+    @property
+    def mean(self) -> float:
+        return self.sum / self.n if self.n else 0.0
+
+
+class MeterBank:
+    def __init__(self):
+        self._meters: Dict[str, AverageValueMeter] = {}
+
+    def add(self, values: Dict[str, float], n: int = 1):
+        for k, v in values.items():
+            self._meters.setdefault(k, AverageValueMeter()).add(v, n)
+
+    def means(self) -> Dict[str, float]:
+        return {k: m.mean for k, m in self._meters.items()}
+
+    def reset(self):
+        for m in self._meters.values():
+            m.reset()
+
+
+def cleargrasp_metrics(pred_depth: np.ndarray,
+                       gt_depth: np.ndarray,
+                       seg_mask: np.ndarray,
+                       resize: bool = True) -> Optional[Dict[str, float]]:
+    """Masked depth metrics on one image.
+
+    Args:
+      pred_depth, gt_depth: (H, W) float meters.
+      seg_mask: (H, W) {0,1} transparent-object mask.
+
+    Returns metric dict, or None when the mask is empty.
+    """
+    gt = gt_depth.astype(np.float32)
+    pred = pred_depth.astype(np.float32)
+    seg = seg_mask.astype(np.uint8)
+    if resize:
+        gt = cv2.resize(gt, (EVAL_W, EVAL_H), interpolation=cv2.INTER_NEAREST)
+        pred = cv2.resize(pred, (EVAL_W, EVAL_H), interpolation=cv2.INTER_NEAREST)
+        seg = cv2.resize(seg, (EVAL_W, EVAL_H), interpolation=cv2.INTER_NEAREST)
+    gt = np.nan_to_num(gt, nan=0.0, posinf=0.0, neginf=0.0)
+    mask = (gt > 0) & (seg > 0)
+    if not mask.any():
+        return None
+    g, p = gt[mask], pred[mask]
+
+    safe = lambda x: np.clip(x, 1e-6, 1e6)
+    thresh = np.maximum(g / p, p / g)
+    ln_g, ln_p = np.log(safe(g)), np.log(safe(p))
+    return {
+        "a1": float((thresh < 1.05).mean()),
+        "a2": float((thresh < 1.10).mean()),
+        "a3": float((thresh < 1.25).mean()),
+        "rmse": float(np.sqrt(((g - p) ** 2).mean())),
+        "rmse_log": float(np.sqrt(((ln_g - ln_p) ** 2).mean())),
+        "log10": float(np.abs(np.log10(safe(g)) - np.log10(safe(p))).mean()),
+        "log10_ln": float(np.abs(ln_g - ln_p).mean()),
+        "abs_rel": float((np.abs(g - p) / g).mean()),
+        "mae": float(np.abs(g - p).mean()),
+        "sq_rel": float((((g - p) ** 2) / g).mean()),
+    }
+
+
+def depth_images_from_outputs(inputs, pred_pos, h: int, w: int) -> np.ndarray:
+    """Build (B, H, W) predicted depth images: corrupt xyz with predicted
+    points written at miss pixels (pipeline.py:593-597)."""
+    xyz = np.asarray(inputs["xyz_corrupt_flat"]).copy()
+    midx = np.asarray(inputs["miss_idx"])
+    slot = np.asarray(inputs["miss_slot"])
+    pred = np.asarray(pred_pos)
+    b = xyz.shape[0]
+    for i in range(b):
+        sel = slot[i]
+        xyz[i, midx[i][sel]] = pred[i][sel]
+    return xyz.reshape(b, h, w, 3)[..., 2]

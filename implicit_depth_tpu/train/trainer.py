@@ -1,0 +1,387 @@
+"""Trainers: stage-1 LIDF and stage-2 Refine.
+
+Parity: ``TrainLIDF`` (src/trainers/train_lidf.py:37-664) and ``TrainRefine``
+(train_refine.py:36-663) — setup (dirs, auto log-name, config dump), model +
+optimizer + checkpoint/resume, train/valid/test loops with meters, JSONL
+epoch logs, per-image CSV at test, PLY/PNG visualization — re-shaped for
+SPMD: no rank-0 gating (every host runs the same program; only process 0
+writes files), no DDP wrapper, no consensus barriers.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+import os.path as osp
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from implicit_depth_tpu.builder import build_lidf, build_refine, build_static
+from implicit_depth_tpu.config import Config
+from implicit_depth_tpu.data.datasets import get_dataset
+from implicit_depth_tpu.data.loader import DataLoader
+from implicit_depth_tpu.models.lidf import prepare_inputs
+from implicit_depth_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from implicit_depth_tpu.train.checkpoint import Checkpointer, restore_params_only
+from implicit_depth_tpu.train.metrics import (
+    MeterBank,
+    cleargrasp_metrics,
+    depth_images_from_outputs,
+)
+from implicit_depth_tpu.train.state import TrainState, make_tx
+from implicit_depth_tpu.train.steps import (
+    make_lidf_eval_step,
+    make_lidf_train_step,
+    make_refine_eval_step,
+    make_refine_train_step,
+)
+
+VALID_SPLITS = (("cleargrasp_synthetic", "known"), ("cleargrasp_synthetic", "novel"),
+                ("cleargrasp_real", "known"), ("cleargrasp_real", "novel"))
+
+
+def auto_log_name(cfg: Config, stage: str) -> str:
+    """≙ the reference's hyperparameter-encoding run name
+    (train_lidf.py:208-247)."""
+    m, g, t, l = cfg.model, cfg.grid, cfg.training, cfg.loss
+    parts = [
+        stage, f"res{g.res}", f"miss{g.miss_sample_num}", f"valid{g.valid_sample_num}",
+        f"bs{t.batch_size}", f"lr{t.lr}", m.offdec_type.lower(),
+        f"rgb{m.rgb_out}", f"pnet{m.pnet_out}", f"posw{l.pos_w}",
+        f"probw{l.prob_w}", f"snw{l.surf_norm_w}",
+    ]
+    if l.hard_neg:
+        parts.append(f"hardneg{l.hard_neg_ratio}")
+    if cfg.custom_postfix:
+        parts.append(cfg.custom_postfix)
+    return "_".join(str(p) for p in parts)
+
+
+class BaseTrainer:
+    stage = "base"
+
+    def __init__(self, cfg: Config, workdir: Optional[str] = None):
+        self.cfg = cfg
+        self.is_main = jax.process_index() == 0
+        # the data axis must divide the per-host batch; fall back to the
+        # largest divisor when they are mismatched (small smoke configs)
+        import math
+        n_dev = len(jax.devices())
+        per_host_batch = max(cfg.training.batch_size // jax.process_count(), 1)
+        n_data = math.gcd(per_host_batch, n_dev)
+        self.mesh = make_mesh((n_data,), devices=jax.devices()[:n_data])
+        self.key = jax.random.key(cfg.seed or 0)
+
+        self.log_name = cfg.log_name or auto_log_name(cfg, self.stage)
+        self.workdir = workdir or osp.join(cfg.base_log_dir or "logs", self.log_name)
+        self.ckpt_dir = osp.join(self.workdir, "ckpt")
+        self.vis_dir = osp.join(self.workdir, "vis")
+        self.result_dir = osp.join(self.workdir, "result")
+        if self.is_main:
+            for d in (self.workdir, self.ckpt_dir, self.vis_dir, self.result_dir):
+                os.makedirs(d, exist_ok=True)
+            cfg.save(osp.join(self.workdir, "config.yaml"))
+        self.ckpt = Checkpointer(self.ckpt_dir)
+        self.meters = MeterBank()
+        self.epoch_log_path = osp.join(self.workdir, "epoch_log.jsonl")
+        self.valid_log_path = osp.join(self.workdir, "valid_log.txt")
+
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    # -- data ---------------------------------------------------------------
+    def make_train_loader(self) -> DataLoader:
+        cfg = self.cfg
+        ds = get_dataset(cfg.dataset, "train", base_seed=cfg.seed or 0)
+        return DataLoader(ds, cfg.training.batch_size, shuffle=True,
+                          seed=cfg.seed or 0, num_workers=cfg.training.num_workers,
+                          host_id=jax.process_index(), num_hosts=jax.process_count())
+
+    def make_valid_loaders(self) -> Dict[str, DataLoader]:
+        cfg = self.cfg
+        out = {}
+        if cfg.dataset.type == "synthetic":
+            ds = get_dataset(cfg.dataset, "valid")
+            out["synthetic"] = DataLoader(ds, cfg.training.valid_batch_size,
+                                          shuffle=False, num_workers=2)
+            return out
+        for dtype, obj in VALID_SPLITS:
+            try:
+                sub = Config(cfg.dataset.to_dict())
+                sub.type = dtype
+                ds = get_dataset(sub, "valid", obj_type=obj)
+                if len(ds):
+                    out[f"{dtype.split('_')[-1]}_{obj}"] = DataLoader(
+                        ds, cfg.training.valid_batch_size, shuffle=False,
+                        num_workers=2)
+            except (FileNotFoundError, OSError):
+                continue
+        return out
+
+    def log_epoch(self, epoch: int, record: Dict) -> None:
+        if not self.is_main:
+            return
+        with open(self.epoch_log_path, "a") as f:
+            f.write(json.dumps({"epoch": epoch, **record}) + "\n")
+
+
+class LIDFTrainer(BaseTrainer):
+    """Stage 1 (≙ TrainLIDF)."""
+
+    stage = "lidf"
+
+    def __init__(self, cfg: Config, workdir: Optional[str] = None):
+        super().__init__(cfg, workdir)
+        self.static = build_static(cfg)
+        self.model = build_lidf(cfg, self.static)
+        h, w = cfg.dataset.img_height, cfg.dataset.img_width
+        self.eval_static = build_static(cfg, n_rays=h * w)
+        self.eval_model = build_lidf(cfg, self.eval_static)
+
+        self.train_loader = self.make_train_loader()
+        self.steps_per_epoch = max(self.train_loader.steps_per_epoch(), 1)
+        self.tx = make_tx(cfg.training, self.steps_per_epoch)
+        self.state = self._init_state()
+        self.start_epoch = 0
+        if cfg.resume and self.ckpt.latest_exists():
+            self.state, meta = self.ckpt.restore(self.state)
+            self.start_epoch = int(meta.get("epoch", -1)) + 1
+            print(f"resumed from epoch {self.start_epoch - 1}")
+
+        self.train_step = make_lidf_train_step(cfg, self.model)
+        self.eval_step = make_lidf_eval_step(cfg, self.eval_model)
+
+    def _init_state(self) -> TrainState:
+        batch = next(iter(self.train_loader.epoch(0)))
+        batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "item_path"}
+        inputs = jax.jit(lambda b, k: prepare_inputs(
+            self.static, b, k, train=True))(batch, self._next_key())
+        variables = jax.jit(lambda k, i: self.model.init(
+            k, i, train=False, use_gt_label=True))(self._next_key(), inputs)
+        state = TrainState.create(variables["params"], variables["batch_stats"], self.tx)
+        return replicate(state, self.mesh)
+
+    # -- loops --------------------------------------------------------------
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        cfg = self.cfg
+        self.meters.reset()
+        t_start = time.time()
+        for it, batch in enumerate(self.train_loader.epoch(epoch)):
+            if cfg.debug and it >= 5:
+                break
+            batch.pop("item_path", None)
+            batch = shard_batch(batch, self.mesh)
+            self.state, losses = self.train_step(
+                self.state, batch, self._next_key(), jnp.asarray(epoch))
+            vals = {k: float(v) for k, v in losses.items()}
+            self.meters.add(vals)
+            if self.is_main and it % cfg.training.log_interval == 0:
+                msg = " ".join(f"{k}={v:.4f}" for k, v in vals.items()
+                               if k in ("loss_net", "pos_loss", "prob_loss", "acc", "err"))
+                print(f"[lidf] epoch {epoch} it {it}/{self.steps_per_epoch} {msg}",
+                      flush=True)
+        means = self.meters.means()
+        means["epoch_time_s"] = time.time() - t_start
+        return means
+
+    def validate(self, epoch: int, max_batches: Optional[int] = None) -> Dict[str, Dict]:
+        cfg = self.cfg
+        results = {}
+        h, w = cfg.dataset.img_height, cfg.dataset.img_width
+        for split, loader in self.make_valid_loaders().items():
+            bank = MeterBank()
+            for it, batch in enumerate(loader.epoch(0)):
+                if cfg.debug and it >= 5:
+                    break
+                if max_batches and it >= max_batches:
+                    break
+                batch.pop("item_path", None)
+                jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+                inputs, out, losses = self.eval_step(self.state, jbatch,
+                                                     self._next_key())
+                bank.add({k: float(v) for k, v in losses.items()})
+                pred_depth = depth_images_from_outputs(inputs, out["pred_pos"], h, w)
+                for i in range(pred_depth.shape[0]):
+                    m = cleargrasp_metrics(pred_depth[i],
+                                           np.asarray(batch["depth"][i]),
+                                           np.asarray(batch["corrupt_mask"][i]))
+                    if m:
+                        bank.add(m)
+            results[split] = bank.means()
+            if self.is_main:
+                line = f"epoch {epoch} split {split} " + " ".join(
+                    f"{k}={v:.4f}" for k, v in sorted(results[split].items()))
+                with open(self.valid_log_path, "a") as f:
+                    f.write(line + "\n")
+                print(line, flush=True)
+        return results
+
+    def test(self, split_loaders=None) -> None:
+        """Per-image CSV ≙ train_lidf.py:625-664."""
+        cfg = self.cfg
+        h, w = cfg.dataset.img_height, cfg.dataset.img_width
+        loaders = split_loaders or self.make_valid_loaders()
+        for split, loader in loaders.items():
+            rows = []
+            for batch in loader.epoch(0):
+                paths = batch.pop("item_path")
+                jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+                inputs, out, _ = self.eval_step(self.state, jbatch, self._next_key())
+                pred_depth = depth_images_from_outputs(inputs, out["pred_pos"], h, w)
+                for i in range(pred_depth.shape[0]):
+                    m = cleargrasp_metrics(pred_depth[i],
+                                           np.asarray(batch["depth"][i]),
+                                           np.asarray(batch["corrupt_mask"][i]))
+                    if m:
+                        rows.append([paths[i], m["rmse"], m["abs_rel"], m["mae"],
+                                     m["a1"], m["a2"], m["a3"]])
+            if self.is_main and rows:
+                path = osp.join(self.result_dir, f"{split}.csv")
+                with open(path, "w", newline="") as f:
+                    wcsv = csv.writer(f)
+                    wcsv.writerow(["Image Num", "RMSE", "REL", "MAE",
+                                   "Delta 1.05", "Delta 1.10", "Delta 1.25"])
+                    wcsv.writerows(rows)
+                    arr = np.asarray([r[1:] for r in rows], np.float64)
+                    wcsv.writerow(["MEAN", *arr.mean(0).tolist()])
+                print(f"wrote {path} ({len(rows)} images)", flush=True)
+
+    def run(self) -> None:
+        cfg = self.cfg
+        for epoch in range(self.start_epoch, cfg.training.nepochs):
+            train_means = self.train_epoch(epoch)
+            record = {"train": train_means}
+            if cfg.training.do_valid and epoch >= cfg.training.valid_start_epo:
+                record["valid"] = self.validate(epoch)
+            if self.is_main:
+                self.ckpt.save(self.state, epoch,
+                               snapshot=(epoch % cfg.training.nepoch_ckpt == 0))
+            self.log_epoch(epoch, record)
+
+
+class RefineTrainer(BaseTrainer):
+    """Stage 2 (≙ TrainRefine): frozen LIDF + refine net."""
+
+    stage = "refine"
+
+    def __init__(self, cfg: Config, workdir: Optional[str] = None,
+                 lidf_variables=None):
+        super().__init__(cfg, workdir)
+        self.static = build_static(cfg)
+        self.lidf_model = build_lidf(cfg, self.static)
+        self.refine_model = build_refine(cfg, self.static)
+        h, w = cfg.dataset.img_height, cfg.dataset.img_width
+        self.eval_static = build_static(cfg, n_rays=h * w)
+        self.eval_lidf = build_lidf(cfg, self.eval_static)
+        self.eval_refine = build_refine(cfg, self.eval_static)
+
+        self.train_loader = self.make_train_loader()
+        self.steps_per_epoch = max(self.train_loader.steps_per_epoch(), 1)
+        self.tx = make_tx(cfg.training, self.steps_per_epoch)
+
+        batch = next(iter(self.train_loader.epoch(0)))
+        batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "item_path"}
+        inputs = jax.jit(lambda b, k: prepare_inputs(
+            self.static, b, k, train=True))(batch, self._next_key())
+
+        # frozen stage-1 weights (train_refine.py:60-73)
+        if lidf_variables is None:
+            lidf_variables = jax.jit(lambda k, i: self.lidf_model.init(
+                k, i, train=False, use_gt_label=True))(self._next_key(), inputs)
+            if cfg.lidf_ckpt_path:
+                params, bstats = restore_params_only(
+                    cfg.lidf_ckpt_path, lidf_variables)
+                lidf_variables = {"params": params, "batch_stats": bstats}
+        self.lidf_variables = replicate(lidf_variables, self.mesh)
+
+        lidf_out = jax.jit(lambda v, i: self.lidf_model.apply(
+            v, i, train=False, use_gt_label=True))(lidf_variables, inputs)
+        rvars = jax.jit(lambda k, i, o: self.refine_model.init(
+            k, i, o, o["pred_pos"]))(self._next_key(), inputs, lidf_out)
+        self.state = replicate(
+            TrainState.create(rvars["params"], {}, self.tx), self.mesh)
+        self.start_epoch = 0
+        if cfg.resume and self.ckpt.latest_exists():
+            self.state, meta = self.ckpt.restore(self.state)
+            self.start_epoch = int(meta.get("epoch", -1)) + 1
+
+        self.train_step = make_refine_train_step(cfg, self.lidf_model,
+                                                 self.refine_model)
+        self.eval_step = make_refine_eval_step(cfg, self.eval_lidf,
+                                               self.eval_refine)
+
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        cfg = self.cfg
+        self.meters.reset()
+        t_start = time.time()
+        for it, batch in enumerate(self.train_loader.epoch(epoch)):
+            if cfg.debug and it >= 5:
+                break
+            batch.pop("item_path", None)
+            batch = shard_batch(batch, self.mesh)
+            self.state, losses = self.train_step(
+                self.state, self.lidf_variables, batch, self._next_key(),
+                jnp.asarray(epoch))
+            vals = {k: float(v) for k, v in losses.items()}
+            self.meters.add(vals)
+            if self.is_main and it % cfg.training.log_interval == 0:
+                msg = " ".join(f"{k}={v:.4f}" for k, v in vals.items()
+                               if k in ("loss_net", "pos_loss", "err"))
+                print(f"[refine] epoch {epoch} it {it}/{self.steps_per_epoch} {msg}",
+                      flush=True)
+        means = self.meters.means()
+        means["epoch_time_s"] = time.time() - t_start
+        return means
+
+    def validate(self, epoch: int, max_batches: Optional[int] = None) -> Dict[str, Dict]:
+        cfg = self.cfg
+        h, w = cfg.dataset.img_height, cfg.dataset.img_width
+        results = {}
+        for split, loader in self.make_valid_loaders().items():
+            bank = MeterBank()
+            for it, batch in enumerate(loader.epoch(0)):
+                if cfg.debug and it >= 5:
+                    break
+                if max_batches and it >= max_batches:
+                    break
+                batch.pop("item_path", None)
+                jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+                inputs, lidf_out, pred, losses = self.eval_step(
+                    self.state, self.lidf_variables, jbatch, self._next_key())
+                bank.add({k: float(v) for k, v in losses.items()})
+                pred_depth = depth_images_from_outputs(inputs, pred, h, w)
+                for i in range(pred_depth.shape[0]):
+                    m = cleargrasp_metrics(pred_depth[i],
+                                           np.asarray(batch["depth"][i]),
+                                           np.asarray(batch["corrupt_mask"][i]))
+                    if m:
+                        bank.add(m)
+            results[split] = bank.means()
+            if self.is_main:
+                line = f"epoch {epoch} split {split} " + " ".join(
+                    f"{k}={v:.4f}" for k, v in sorted(results[split].items()))
+                with open(self.valid_log_path, "a") as f:
+                    f.write(line + "\n")
+                print(line, flush=True)
+        return results
+
+    def run(self) -> None:
+        cfg = self.cfg
+        for epoch in range(self.start_epoch, cfg.training.nepochs):
+            train_means = self.train_epoch(epoch)
+            record = {"train": train_means}
+            if cfg.training.do_valid and epoch >= cfg.training.valid_start_epo:
+                record["valid"] = self.validate(epoch)
+            if self.is_main:
+                self.ckpt.save(self.state, epoch,
+                               snapshot=(epoch % cfg.training.nepoch_ckpt == 0))
+            self.log_epoch(epoch, record)
+
+
+TRAINERS = {"lidf": LIDFTrainer, "refine": RefineTrainer}

@@ -6,12 +6,17 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 # Force CPU: the surrounding environment pins JAX_PLATFORMS=axon (remote TPU
-# tunnel), which must not be used for unit tests.
+# tunnel) and its sitecustomize force-sets jax_platforms at interpreter
+# startup, so the env var alone is not enough — override the config too.
 os.environ["JAX_PLATFORMS"] = "cpu"
 # persistent compile cache makes repeated test runs much faster
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,56 @@
+"""Trainer smoke tests on synthetic data (tiny shapes, CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from implicit_depth_tpu.config import load_config
+from implicit_depth_tpu.train.trainer import LIDFTrainer, auto_log_name
+
+
+def smoke_cfg(tmp_path, nepochs=1):
+    return load_config(overrides={
+        "trainer_name": "lidf",
+        "exp_type": "train",
+        "base_log_dir": str(tmp_path / "logs"),
+        "log_name": "smoke",
+        "mask_type": "all",
+        "seed": 0,
+        "dataset": {"type": "synthetic", "synthetic_len": 4,
+                    "img_width": 64, "img_height": 48},
+        "model": {"rgb_out": 8, "pnet_out": 16, "pnet_gf": 8, "imnet_gf": 8},
+        "grid": {"miss_sample_num": 256, "valid_sample_num": 256},
+        "training": {"batch_size": 2, "valid_batch_size": 1, "nepochs": nepochs,
+                     "num_workers": 2, "log_interval": 1, "do_valid": False},
+        "tpu": {"max_pairs_per_ray": 8, "compute_dtype": "float32"},
+    })
+
+
+def test_auto_log_name():
+    cfg = load_config(overrides={"loss": {"hard_neg": True, "hard_neg_ratio": 0.1}})
+    name = auto_log_name(cfg, "lidf")
+    assert name.startswith("lidf_res8_miss20000")
+    assert "hardneg0.1" in name
+
+
+@pytest.mark.slow
+def test_lidf_trainer_epoch_and_resume(tmp_path):
+    cfg = smoke_cfg(tmp_path)
+    tr = LIDFTrainer(cfg)
+    tr.run()
+    assert tr.ckpt.latest_exists()
+    import os.path as osp
+    assert osp.exists(tr.epoch_log_path)
+
+    # resume picks up epoch counter
+    cfg2 = smoke_cfg(tmp_path, nepochs=2)
+    cfg2.resume = "latest_network"
+    tr2 = LIDFTrainer(cfg2)
+    assert tr2.start_epoch == 1
+    tr2.run()
+
+    # eval path produces metrics
+    res = tr2.validate(0, max_batches=1)
+    # synthetic valid loader exists
+    assert "synthetic" in res
+    assert np.isfinite(res["synthetic"].get("loss_net", np.nan))
