@@ -46,6 +46,7 @@ def build_lidf(cfg: Config, static: LIDFStatic) -> LIDFModel:
         n_iter=m.n_iter,
         use_sigmoid=m.use_sigmoid,
         offset_range=tuple(cfg.grid.offset_range),
+        pairs_budget=cfg.tpu.get("pairs_budget_per_ray", 0),
         dtype=compute_dtype(cfg),
     )
 

@@ -30,7 +30,12 @@ from implicit_depth_tpu.geometry.camera import compute_xyz_np
 
 def _connected_components(binary: np.ndarray) -> np.ndarray:
     """4-connected labeling (scipy.ndimage.label semantics used by the
-    reference, cleargrasp_synthetic_dataset.py:105)."""
+    reference, cleargrasp_synthetic_dataset.py:105). Uses the native C++
+    runtime when built, scipy otherwise."""
+    from implicit_depth_tpu import native
+    lab = native.connected_components(binary)
+    if lab is not None:
+        return lab
     from scipy.ndimage import label
     lab, _ = label(binary)
     return lab

@@ -19,6 +19,8 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from implicit_depth_tpu import native
+
 _MAGIC = 20000630
 _PXTYPE_DTYPE = {0: np.uint32, 1: np.float16, 2: np.float32}
 _LINES_PER_BLOCK = {0: 1, 1: 1, 2: 1, 3: 16}  # NONE, RLE, ZIPS, ZIP
@@ -123,9 +125,13 @@ def read_exr(path: str) -> Dict[str, np.ndarray]:
         if compression == 0 or dsize == expect:  # NONE or incompressible
             block = np.frombuffer(data, np.uint8)
         elif compression == 1:  # RLE
-            block = _predictor_uninterleave(_rle_decode(data))
+            block = native.exr_unrle(data, expect)
+            if block is None:
+                block = _predictor_uninterleave(_rle_decode(data))
         else:  # ZIPS / ZIP
-            block = _predictor_uninterleave(zlib.decompress(data))
+            block = native.exr_unzip(data, expect)
+            if block is None:
+                block = _predictor_uninterleave(zlib.decompress(data))
         block = block[:expect].reshape(rows, line_size)
         col = 0
         for c, csz in zip(channels, ch_sizes):

@@ -40,12 +40,18 @@ def _block_order_perm(h: int, w: int, block_y: int, block_x: int) -> np.ndarray:
 
 
 def _nonzero_first_order(mask_flat: jnp.ndarray) -> jnp.ndarray:
-    """Positions of True entries first (in order), False entries after.
+    """order[j] = index of the j-th True entry (index order); entries past
+    the True count are 0 (callers mask them).
 
-    mask_flat: (M,) bool -> (M,) int32 indices. Stable, static shape.
+    Built with cumsum-rank + scatter instead of argsort: O(M) VPU work
+    versus a bitonic sort's O(M log² M) — this runs per image per step on
+    76 800-pixel masks, so the difference is milliseconds on TPU.
     """
-    # argsort of (1 - mask) is stable in jnp => True (0) entries keep order.
-    return jnp.argsort(jnp.logical_not(mask_flat), stable=True).astype(jnp.int32)
+    m = mask_flat.shape[0]
+    idx = jnp.arange(m, dtype=jnp.int32)
+    rank = jnp.cumsum(mask_flat.astype(jnp.int32)) - 1
+    rank = jnp.where(mask_flat, rank, m)  # False entries dropped
+    return jnp.zeros(m, jnp.int32).at[rank].set(idx, mode="drop")
 
 
 def sample_masked_window(mask_flat: jnp.ndarray, n_sample: int, key: jax.Array):

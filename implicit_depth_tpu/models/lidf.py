@@ -170,6 +170,7 @@ class LIDFModel(nn.Module):
     use_sigmoid: bool = False
     offset_range: tuple = (0.0, 1.0)
     resnet_stages: tuple = (3, 4, 6, 3)
+    pairs_budget: int = 0   # avg pair slots/ray to decode after compaction; 0 = dense
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -197,6 +198,94 @@ class LIDFModel(nn.Module):
                          seg.reshape(-1), b * grid.n_cells,
                          valid=inputs["vox_point_valid"].reshape(-1))
 
+    def _embed_and_decode(self, pair_vox, roi_rows, enter, leave, dir_rows):
+        """Shared tail: concat the 385-d embedding, run both decoders.
+
+        All args are (..., C) with matching leading shape.
+        """
+        enter_e = positional_encoding(enter, self.multires, self.pos_encode)
+        leave_e = positional_encoding(leave, self.multires, self.pos_encode)
+        embed = jnp.concatenate(
+            [pair_vox, roi_rows, enter_e, leave_e, dir_rows],
+            axis=-1).astype(self.dtype)
+        pred_offset = self.offset_dec(embed)[..., 0]
+        prob_logit = self.prob_dec(embed)[..., 0]
+        return pred_offset, prob_logit
+
+    def _pair_positions(self, inputs):
+        grid = self.static.grid
+        dirs = inputs["miss_dir"]
+        enter = dirs[:, :, None, :] * inputs["t_enter"][..., None]
+        leave = dirs[:, :, None, :] * inputs["t_exit"][..., None]
+        if self.intersect_pos_type == "rel":
+            center = grid.cell_center(grid.unlinear(inputs["pair_cell"]))
+            enter, leave = enter - center, leave - center
+        return enter, leave
+
+    def _decode_dense(self, inputs, vox_feat, roi, dir_e):
+        """Decode every (B, R, K) slot (padding included)."""
+        grid = self.static.grid
+        b, r, k = inputs["pair_valid"].shape
+        global_cell = (jnp.arange(b, dtype=jnp.int32)[:, None, None] * grid.n_cells
+                       + inputs["pair_cell"])
+        pair_vox = vox_feat[global_cell]
+        enter, leave = self._pair_positions(inputs)
+        return self._embed_and_decode(
+            pair_vox,
+            jnp.broadcast_to(roi[:, :, None, :], (b, r, k, roi.shape[-1])),
+            enter, leave,
+            jnp.broadcast_to(dir_e[:, :, None, :], (b, r, k, dir_e.shape[-1])))
+
+    def _decode_compacted(self, inputs, vox_feat, roi, dir_e):
+        """Decode only valid pairs, compacted to a static budget.
+
+        The (B, R, K) slots are mostly padding (a ray crosses ~4-8 occupied
+        cells out of K). Valid pairs are compacted into P = B·R·pairs_budget
+        rows — dropping the farthest-K pairs of each ray first if the budget
+        overflows — decoded, and the two scalars scattered back. Cuts the
+        per-pair MLP (the FLOPs hot spot, SURVEY.md §3.3) by ~K/budget with
+        identical results for every kept pair.
+        """
+        grid = self.static.grid
+        b, r, k = inputs["pair_valid"].shape
+        n_slots = b * r * k
+        p = min(b * r * self.pairs_budget, n_slots)
+
+        # k-major cumsum rank: all slot-0 (nearest) pairs rank before any
+        # slot-1 pair, so a budget overflow drops the farthest-K pairs
+        # globally — no sort needed.
+        valid_km = inputs["pair_valid"].transpose(2, 0, 1).reshape(-1)  # (K·B·R)
+        rank = jnp.cumsum(valid_km.astype(jnp.int32)) - 1
+        rank = jnp.where(valid_km & (rank < p), rank, p)
+        km_idx = jnp.arange(n_slots, dtype=jnp.int32)
+        sel = jnp.full(p, n_slots, jnp.int32).at[rank].set(km_idx, mode="drop")
+        sel_valid = sel < n_slots
+        sel = jnp.where(sel_valid, sel, 0)
+        sel_k = sel // (b * r)                    # pair slot index
+        sel_ray = sel % (b * r)                   # flat b*R + r
+        row = sel_ray * k + sel_k                 # row-major (B,R,K) position
+
+        flat = lambda x: x.reshape(n_slots, *x.shape[3:])
+        cell = flat(inputs["pair_cell"])[row]
+        bidx = sel_ray // r
+        pair_vox = vox_feat[bidx * grid.n_cells + cell]
+        enter, leave = self._pair_positions(inputs)
+        enter_s = flat(enter)[row]
+        leave_s = flat(leave)[row]
+        roi_s = roi.reshape(b * r, -1)[sel_ray]
+        dir_s = dir_e.reshape(b * r, -1)[sel_ray]
+
+        off_s, logit_s = self._embed_and_decode(pair_vox, roi_s, enter_s,
+                                                leave_s, dir_s)
+        off_s = jnp.where(sel_valid, off_s, 0.0)
+        logit_s = jnp.where(sel_valid, logit_s, 0.0)
+        row_w = jnp.where(sel_valid, row, n_slots)
+        pred_offset = jnp.zeros((n_slots,), off_s.dtype).at[row_w].set(
+            off_s, mode="drop").reshape(b, r, k)
+        prob_logit = jnp.zeros((n_slots,), logit_s.dtype).at[row_w].set(
+            logit_s, mode="drop").reshape(b, r, k)
+        return pred_offset, prob_logit
+
     def __call__(self, inputs: Dict[str, jnp.ndarray], train: bool,
                  use_gt_label) -> Dict[str, jnp.ndarray]:
         grid = self.static.grid
@@ -213,32 +302,17 @@ class LIDFModel(nn.Module):
 
         # Voxel features gathered per pair.
         vox_feat = self.voxel_features(inputs)
-        global_cell = (jnp.arange(b, dtype=jnp.int32)[:, None, None] * grid.n_cells
-                       + inputs["pair_cell"])
-        pair_vox = vox_feat[global_cell]                          # (B, R, K, 128)
-
-        # Positional encodings (pipeline.py:343-365).
         dirs = inputs["miss_dir"]
-        enter = dirs[:, :, None, :] * inputs["t_enter"][..., None]
-        leave = dirs[:, :, None, :] * inputs["t_exit"][..., None]
-        if self.intersect_pos_type == "rel":
-            center = grid.cell_center(grid.unlinear(inputs["pair_cell"]))
-            enter, leave = enter - center, leave - center
-        enter_e = positional_encoding(enter, self.multires, self.pos_encode)
-        leave_e = positional_encoding(leave, self.multires, self.pos_encode)
         dir_e = positional_encoding(dirs, self.multires_views, self.pos_encode)
 
-        embed = jnp.concatenate([
-            pair_vox,
-            jnp.broadcast_to(roi[:, :, None, :], (b, r, k, roi.shape[-1])),
-            enter_e, leave_e,
-            jnp.broadcast_to(dir_e[:, :, None, :], (b, r, k, dir_e.shape[-1])),
-        ], axis=-1).astype(self.dtype)
+        if self.pairs_budget > 0:
+            pred_offset, prob_logit = self._decode_compacted(
+                inputs, vox_feat, roi, dir_e)
+        else:
+            pred_offset, prob_logit = self._decode_dense(
+                inputs, vox_feat, roi, dir_e)
 
-        # Per-pair decoders (get_pred, pipeline.py:427-466).
-        pred_offset = self.offset_dec(embed)[..., 0]              # (B, R, K)
-        prob_logit = self.prob_dec(embed)[..., 0]                 # (B, R, K)
-
+        enter = dirs[:, :, None, :] * inputs["t_enter"][..., None]
         lo, hi = self.offset_range
         scaled = (pred_offset * (hi - lo) + lo) * np.sqrt(3.0) * grid.part_size
         pair_pred_pos = enter + scaled[..., None] * dirs[:, :, None, :]

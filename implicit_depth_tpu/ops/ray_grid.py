@@ -91,18 +91,23 @@ def ray_grid_intersect(grid: VoxelGrid,
     if ray_mask is not None:
         good = good & ray_mask[..., None]
 
-    # Compact the (≤ P-1) hits into K t-ordered slots per ray.
-    p = good.shape[-1]
-    seg_order = jnp.arange(p, dtype=jnp.float32)
-    key = jnp.where(good, seg_order, _BIG)
-    _, take = jax.lax.top_k(-key, k_pairs)           # first-K in t order
-    gather = lambda x: jnp.take_along_axis(x, take, axis=-1)
-    valid = gather(good)
+    # Compact the (≤ P-1) hits into K t-ordered slots per ray: cumsum rank
+    # (preserves t order, keeps the nearest K on overflow) + scatter — no
+    # sort needed.
+    rank = jnp.cumsum(good, axis=-1) - 1                       # (B, R, P-1)
+    rank = jnp.where(good & (rank < k_pairs), rank, k_pairs)   # overflow -> dropped
+    def compact(src, fill, dtype):
+        out = jnp.full((b, r, k_pairs + 1), fill, dtype)
+        bi = jnp.arange(b, dtype=jnp.int32)[:, None, None]
+        ri = jnp.arange(r, dtype=jnp.int32)[None, :, None]
+        out = out.at[bi, ri, rank].set(src.astype(dtype))
+        return out[..., :k_pairs]
+    valid = compact(good, False, bool)
     return {
-        "cell_id": jnp.where(valid, gather(lin), 0),
+        "cell_id": compact(lin, 0, jnp.int32),
         "valid": valid,
-        "t_enter": jnp.where(valid, gather(t_s), 0.0),
-        "t_exit": jnp.where(valid, gather(t_e), 0.0),
+        "t_enter": compact(t_s, 0.0, jnp.float32),
+        "t_exit": compact(t_e, 0.0, jnp.float32),
     }
 
 
