@@ -12,6 +12,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from implicit_depth_tpu.builder import build_lidf, build_static
 from implicit_depth_tpu.config import load_config
@@ -41,18 +42,26 @@ def main():
         lambda kk, i: model.init(kk, i, train=False, use_gt_label=False)
     )(jax.random.key(1), inputs)
 
-    fwd = jax.jit(lambda v, b, kk: model.apply(
-        v, prepare_inputs(static, b, kk, train=True),
-        train=False, use_gt_label=False)["pred_pos"])
+    def one(v, b, kk):
+        return jnp.abs(model.apply(
+            v, prepare_inputs(static, b, kk, train=True),
+            train=False, use_gt_label=False)["pred_pos"]).sum()
 
-    # warmup / compile
-    fwd(variables, batch, jax.random.key(2)).block_until_ready()
-
+    # The whole timing loop runs in-graph (lax.fori_loop) with ONE host
+    # readback at the end: block_until_ready is not a reliable fence through
+    # the remote-TPU relay, and a per-iteration readback would pay the
+    # ~25 ms tunnel round-trip every step.
     iters = 10
+
+    @jax.jit
+    def loop(v, b, kk):
+        def body(i, acc):
+            return acc + one(v, b, jax.random.fold_in(kk, i))
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    assert np.isfinite(float(loop(variables, batch, jax.random.key(2))))  # warm
     t0 = time.perf_counter()
-    for i in range(iters):
-        out = fwd(variables, batch, jax.random.key(3 + i))
-    out.block_until_ready()
+    assert np.isfinite(float(loop(variables, batch, jax.random.key(3))))
     dt = (time.perf_counter() - t0) / iters
 
     n_chips = jax.local_device_count()

@@ -41,9 +41,7 @@ def _connected_components(binary: np.ndarray) -> np.ndarray:
     return lab
 
 
-def imread_indexed(path: str) -> np.ndarray:
-    from PIL import Image
-    return np.array(Image.open(path))
+from implicit_depth_tpu.data.seg_io import imread_indexed  # noqa: E402
 
 
 def _process_rgb(bgr: np.ndarray, wh, train_aug: bool,

@@ -171,6 +171,7 @@ class LIDFModel(nn.Module):
     offset_range: tuple = (0.0, 1.0)
     resnet_stages: tuple = (3, 4, 6, 3)
     pairs_budget: int = 0   # avg pair slots/ray to decode after compaction; 0 = dense
+    use_pallas_decode: bool = False  # fused TPU kernel for the pair decode
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -201,8 +202,20 @@ class LIDFModel(nn.Module):
     def _embed_and_decode(self, pair_vox, roi_rows, enter, leave, dir_rows):
         """Shared tail: concat the 385-d embedding, run both decoders.
 
-        All args are (..., C) with matching leading shape.
+        All args are (..., C) with matching leading shape. When
+        ``use_pallas_decode`` is set (and the rows are compacted 2-D), the
+        fused TPU kernel computes posenc + both MLPs without materializing
+        the embedding in HBM (ops/pallas_decode.py).
         """
+        if (self.use_pallas_decode and not self.is_initializing()
+                and pair_vox.ndim == 2 and self.pos_encode
+                and self.offdec_type == "IEF"):
+            from implicit_depth_tpu.ops.pallas_decode import fused_pair_decode
+            return fused_pair_decode(
+                pair_vox, roi_rows, enter, leave, dir_rows,
+                self._decoder_weights(), multires=self.multires,
+                n_iter=self.n_iter, use_sigmoid=self.use_sigmoid,
+                dtype=self.dtype)
         enter_e = positional_encoding(enter, self.multires, self.pos_encode)
         leave_e = positional_encoding(leave, self.multires, self.pos_encode)
         embed = jnp.concatenate(
@@ -211,6 +224,20 @@ class LIDFModel(nn.Module):
         pred_offset = self.offset_dec(embed)[..., 0]
         prob_logit = self.prob_dec(embed)[..., 0]
         return pred_offset, prob_logit
+
+    def _decoder_weights(self) -> Dict[str, jnp.ndarray]:
+        """Flatten the IEF offset + IMNet prob decoder params into the
+        kernel's weight-dict layout."""
+        ief = self.offset_dec.variables["params"]
+        prob = self.prob_dec.variables["params"]
+        w = {"off_enc_w": ief["Dense_0"]["kernel"],
+             "off_enc_b": ief["Dense_0"]["bias"]}
+        for i in range(4):
+            w[f"off_w{i + 1}"] = ief["_MLP4_0"][f"Dense_{i}"]["kernel"]
+            w[f"off_b{i + 1}"] = ief["_MLP4_0"][f"Dense_{i}"]["bias"]
+            w[f"prob_w{i + 1}"] = prob["_MLP4_0"][f"Dense_{i}"]["kernel"]
+            w[f"prob_b{i + 1}"] = prob["_MLP4_0"][f"Dense_{i}"]["bias"]
+        return w
 
     def _pair_positions(self, inputs):
         grid = self.static.grid

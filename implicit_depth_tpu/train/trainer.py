@@ -213,6 +213,11 @@ class LIDFTrainer(BaseTrainer):
                                            np.asarray(batch["corrupt_mask"][i]))
                     if m:
                         bank.add(m)
+                vis_iter = cfg.training.get("val_vis_iter", 0)
+                if self.is_main and vis_iter and it % vis_iter == 0:
+                    from implicit_depth_tpu.train.visualize import dump_batch_visuals
+                    dump_batch_visuals(self.vis_dir, f"{split}_ep{epoch}_it{it}",
+                                       batch, inputs, np.asarray(out["pred_pos"]))
             results[split] = bank.means()
             if self.is_main:
                 line = f"epoch {epoch} split {split} " + " ".join(
@@ -362,6 +367,11 @@ class RefineTrainer(BaseTrainer):
                                            np.asarray(batch["corrupt_mask"][i]))
                     if m:
                         bank.add(m)
+                vis_iter = cfg.training.get("val_vis_iter", 0)
+                if self.is_main and vis_iter and it % vis_iter == 0:
+                    from implicit_depth_tpu.train.visualize import dump_batch_visuals
+                    dump_batch_visuals(self.vis_dir, f"{split}_ep{epoch}_it{it}",
+                                       batch, inputs, np.asarray(pred))
             results[split] = bank.means()
             if self.is_main:
                 line = f"epoch {epoch} split {split} " + " ".join(
