@@ -51,7 +51,8 @@ def _nonzero_first_order(mask_flat: jnp.ndarray) -> jnp.ndarray:
     idx = jnp.arange(m, dtype=jnp.int32)
     rank = jnp.cumsum(mask_flat.astype(jnp.int32)) - 1
     rank = jnp.where(mask_flat, rank, m)  # False entries dropped
-    return jnp.zeros(m, jnp.int32).at[rank].set(idx, mode="drop")
+    return jnp.zeros(m, jnp.int32).at[rank].set(
+        idx, mode="drop", unique_indices=True, indices_are_sorted=True)
 
 
 def sample_masked_window(mask_flat: jnp.ndarray, n_sample: int, key: jax.Array):

@@ -285,7 +285,8 @@ class LIDFModel(nn.Module):
         rank = jnp.cumsum(valid_km.astype(jnp.int32)) - 1
         rank = jnp.where(valid_km & (rank < p), rank, p)
         km_idx = jnp.arange(n_slots, dtype=jnp.int32)
-        sel = jnp.full(p, n_slots, jnp.int32).at[rank].set(km_idx, mode="drop")
+        sel = jnp.full(p, n_slots, jnp.int32).at[rank].set(
+            km_idx, mode="drop", unique_indices=True, indices_are_sorted=True)
         sel_valid = sel < n_slots
         sel = jnp.where(sel_valid, sel, 0)
         sel_k = sel // (b * r)                    # pair slot index
@@ -308,9 +309,9 @@ class LIDFModel(nn.Module):
         logit_s = jnp.where(sel_valid, logit_s, 0.0)
         row_w = jnp.where(sel_valid, row, n_slots)
         pred_offset = jnp.zeros((n_slots,), off_s.dtype).at[row_w].set(
-            off_s, mode="drop").reshape(b, r, k)
+            off_s, mode="drop", unique_indices=True).reshape(b, r, k)
         prob_logit = jnp.zeros((n_slots,), logit_s.dtype).at[row_w].set(
-            logit_s, mode="drop").reshape(b, r, k)
+            logit_s, mode="drop", unique_indices=True).reshape(b, r, k)
         return pred_offset, prob_logit
 
     def __call__(self, inputs: Dict[str, jnp.ndarray], train: bool,
@@ -396,8 +397,8 @@ def scatter_into_image(base_flat: jnp.ndarray, idx: jnp.ndarray,
     """Write values into (B, H*W, C) at per-image flat indices, masked."""
     hw = base_flat.shape[1]
     safe_idx = jnp.where(slot, idx, hw)  # out-of-bounds rows are dropped
-    return jax.vmap(lambda img, i, v: img.at[i].set(v, mode="drop"))(
-        base_flat, safe_idx, values)
+    return jax.vmap(lambda img, i, v: img.at[i].set(
+        v, mode="drop", unique_indices=True))(base_flat, safe_idx, values)
 
 
 def lidf_loss(inputs: Dict[str, jnp.ndarray],

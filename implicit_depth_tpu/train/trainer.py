@@ -153,6 +153,13 @@ class LIDFTrainer(BaseTrainer):
             self.state, meta = self.ckpt.restore(self.state)
             self.start_epoch = int(meta.get("epoch", -1)) + 1
             print(f"resumed from epoch {self.start_epoch - 1}")
+        elif cfg.checkpoint_path:
+            # load initial weights from an external run (≙ train_lidf.py:73-92)
+            params, bstats = restore_params_only(
+                cfg.checkpoint_path,
+                {"params": self.state.params, "batch_stats": self.state.batch_stats})
+            self.state = self.state.replace(params=params, batch_stats=bstats)
+            print(f"loaded weights from {cfg.checkpoint_path}")
 
         self.train_step = make_lidf_train_step(cfg, self.model)
         self.eval_step = make_lidf_eval_step(cfg, self.eval_model)
@@ -315,6 +322,12 @@ class RefineTrainer(BaseTrainer):
         if cfg.resume and self.ckpt.latest_exists():
             self.state, meta = self.ckpt.restore(self.state)
             self.start_epoch = int(meta.get("epoch", -1)) + 1
+        elif cfg.checkpoint_path:
+            params, _ = restore_params_only(
+                cfg.checkpoint_path, {"params": self.state.params,
+                                      "batch_stats": {}})
+            self.state = self.state.replace(params=params)
+            print(f"loaded refine weights from {cfg.checkpoint_path}")
 
         self.train_step = make_refine_train_step(cfg, self.lidf_model,
                                                  self.refine_model)
@@ -380,6 +393,38 @@ class RefineTrainer(BaseTrainer):
                     f.write(line + "\n")
                 print(line, flush=True)
         return results
+
+    def test(self, split_loaders=None) -> None:
+        """Two-stage per-image CSV (≙ train_refine.py:625-664)."""
+        cfg = self.cfg
+        h, w = cfg.dataset.img_height, cfg.dataset.img_width
+        loaders = split_loaders or self.make_valid_loaders()
+        import csv
+        for split, loader in loaders.items():
+            rows = []
+            for batch in loader.epoch(0):
+                paths = batch.pop("item_path")
+                jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+                inputs, _, pred, _ = self.eval_step(
+                    self.state, self.lidf_variables, jbatch, self._next_key())
+                pred_depth = depth_images_from_outputs(inputs, pred, h, w)
+                for i in range(pred_depth.shape[0]):
+                    m = cleargrasp_metrics(pred_depth[i],
+                                           np.asarray(batch["depth"][i]),
+                                           np.asarray(batch["corrupt_mask"][i]))
+                    if m:
+                        rows.append([paths[i], m["rmse"], m["abs_rel"], m["mae"],
+                                     m["a1"], m["a2"], m["a3"]])
+            if self.is_main and rows:
+                path = osp.join(self.result_dir, f"{split}.csv")
+                with open(path, "w", newline="") as f:
+                    wcsv = csv.writer(f)
+                    wcsv.writerow(["Image Num", "RMSE", "REL", "MAE",
+                                   "Delta 1.05", "Delta 1.10", "Delta 1.25"])
+                    wcsv.writerows(rows)
+                    arr = np.asarray([r[1:] for r in rows], np.float64)
+                    wcsv.writerow(["MEAN", *arr.mean(0).tolist()])
+                print(f"wrote {path} ({len(rows)} images)", flush=True)
 
     def run(self) -> None:
         cfg = self.cfg

@@ -45,24 +45,30 @@ def stage_times(reset: bool = True) -> Dict[str, float]:
     return out
 
 
-def device_slope_time(fn_of_key: Callable[[jax.Array], jnp.ndarray],
-                      key: jax.Array, iters_a: int = 2, iters_b: int = 12) -> float:
-    """Seconds per invocation of ``fn_of_key`` (must return a scalar)."""
+def device_slope_time(fn_of_key: Callable[..., jnp.ndarray],
+                      key: jax.Array, *args,
+                      iters_a: int = 2, iters_b: int = 12) -> float:
+    """Seconds per invocation of ``fn_of_key(key, *args)`` (scalar return).
+
+    Pass large arrays through ``*args`` rather than closing over them —
+    closed-over arrays become jit CONSTANTS, which this image ships to the
+    remote compiler in the request body (HTTP 413 past ~100 MB).
+    """
 
     def make(iters):
         @jax.jit
-        def run(k):
+        def run(k, *a):
             def body(i, acc):
-                return acc + fn_of_key(jax.random.fold_in(k, i)).astype(jnp.float32)
+                return acc + fn_of_key(jax.random.fold_in(k, i), *a).astype(jnp.float32)
             return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
         return run
 
     times = {}
     for iters in (iters_a, iters_b):
         run = make(iters)
-        float(run(key))  # compile + warm
+        float(run(key, *args))  # compile + warm
         t0 = time.perf_counter()
-        float(run(key))
+        float(run(key, *args))
         times[iters] = time.perf_counter() - t0
     return (times[iters_b] - times[iters_a]) / (iters_b - iters_a)
 

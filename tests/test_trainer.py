@@ -34,6 +34,24 @@ def test_auto_log_name():
 
 
 @pytest.mark.slow
+def test_refine_trainer_smoke(tmp_path):
+    from implicit_depth_tpu.train.trainer import RefineTrainer
+    cfg = smoke_cfg(tmp_path)
+    cfg.trainer_name = "refine"
+    cfg.base_log_dir = str(tmp_path / "logs_refine")
+    tr = RefineTrainer(cfg)  # random frozen LIDF (no lidf_ckpt_path)
+    tr.run()
+    assert tr.ckpt.latest_exists()
+    res = tr.validate(0, max_batches=1)
+    assert "synthetic" in res
+    import numpy as np
+    assert np.isfinite(res["synthetic"].get("loss_net", np.nan))
+    tr.test()
+    import os.path as osp
+    assert osp.exists(osp.join(tr.result_dir, "synthetic.csv"))
+
+
+@pytest.mark.slow
 def test_lidf_trainer_epoch_and_resume(tmp_path):
     cfg = smoke_cfg(tmp_path)
     tr = LIDFTrainer(cfg)
