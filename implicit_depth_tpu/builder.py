@@ -47,6 +47,7 @@ def build_lidf(cfg: Config, static: LIDFStatic) -> LIDFModel:
         use_sigmoid=m.use_sigmoid,
         offset_range=tuple(cfg.grid.offset_range),
         pairs_budget=cfg.tpu.get("pairs_budget_per_ray", 0),
+        use_pallas_decode=cfg.tpu.get("use_pallas_decode", False),
         dtype=compute_dtype(cfg),
     )
 

@@ -257,6 +257,7 @@ _DEFAULTS: Dict[str, Any] = {
     "tpu": {
         "max_pairs_per_ray": 20,     # K slots in the static (R, K) pair tensor
         "pairs_budget_per_ray": 8,   # avg pairs/ray decoded after compaction; 0 = dense
+        "use_pallas_decode": False,  # fused TPU kernel for the pair decode
         "mesh_axes": ["data"],       # SPMD mesh axis names
         "mesh_shape": None,          # None => all visible devices on 'data'
         "compute_dtype": "bfloat16", # matmul/conv activations dtype

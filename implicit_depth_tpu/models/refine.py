@@ -80,7 +80,12 @@ class RefineModel(nn.Module):
 
     def __call__(self, inputs: Dict[str, jnp.ndarray],
                  lidf_out: Dict[str, jnp.ndarray],
-                 pred_pos: jnp.ndarray) -> jnp.ndarray:
+                 pred_pos: jnp.ndarray,
+                 inject_mask: jnp.ndarray | None = None) -> jnp.ndarray:
+        """inject_mask (B, R) optionally restricts which predicted points are
+        injected into the PointNet input — the ``refine.use_all_pix=False``
+        eval path (pipeline.py:987-996) limits injection to zero-input-depth
+        pixels."""
         grid = self.static.grid
         b, r, _ = pred_pos.shape
         n = self.static.n_valid
@@ -113,8 +118,11 @@ class RefineModel(nn.Module):
         all_inp = jnp.concatenate([valid_inp.reshape(b * n, -1),
                                    pred_inp.reshape(b * r, -1)], 0)
         all_seg = jnp.concatenate([seg_valid.reshape(-1), seg_pred.reshape(-1)], 0)
+        pred_ok = inputs["miss_slot"] & lidf_out["has_pair"]
+        if inject_mask is not None:
+            pred_ok = pred_ok & inject_mask
         all_ok = jnp.concatenate([inputs["vox_point_valid"].reshape(-1),
-                                  (inputs["miss_slot"] & lidf_out["has_pair"]).reshape(-1)], 0)
+                                  pred_ok.reshape(-1)], 0)
         vox_feat = self.pnet(all_inp, all_seg, b * grid.n_cells, valid=all_ok)
         end_feat = vox_feat[seg_pred]                                # (B, R, 128)
 

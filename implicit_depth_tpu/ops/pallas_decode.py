@@ -90,33 +90,48 @@ def fused_pair_decode(pair_vox: jnp.ndarray, roi: jnp.ndarray,
                       dir_e: jnp.ndarray, weights: Dict[str, jnp.ndarray],
                       *, multires: int = 8, n_iter: int = 2,
                       init_offset: float = 0.001, use_sigmoid: bool = False,
-                      dtype=jnp.bfloat16, tile: int = 1024,
+                      dtype=jnp.bfloat16, tile: int = 2048,
                       interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(P, …) compacted pair features -> (offset (P,), prob_logit (P,))."""
+    """(P, …) compacted pair features -> (offset (P,), prob_logit (P,)).
+
+    Per-pair features travel as one packed bf16 block (pair_vox | roi |
+    dir_e) plus a small f32 block for the raw positions (posenc at 2^7 needs
+    f32 phase precision) — two input DMAs per tile keep grid-step overhead
+    small; weights stay VMEM-resident in ``dtype``.
+    """
     p = pair_vox.shape[0]
+    packed = jnp.concatenate([pair_vox, roi, dir_e], axis=-1).astype(dtype)
+    pos = jnp.concatenate([enter, leave, jnp.zeros_like(enter[:, :2])],
+                          axis=-1).astype(jnp.float32)        # (P, 8)
+    cols = packed.shape[1]
+    c_pv, c_roi, c_de = pair_vox.shape[1], roi.shape[1], dir_e.shape[1]
     pad = (-p) % tile
     if pad:
-        padf = lambda x: jnp.pad(x, ((0, pad), (0, 0)))
-        pair_vox, roi = padf(pair_vox), padf(roi)
-        enter, leave, dir_e = padf(enter), padf(leave), padf(dir_e)
+        packed = jnp.pad(packed, ((0, pad), (0, 0)))
+        pos = jnp.pad(pos, ((0, pad), (0, 0)))
     n_tiles = (p + pad) // tile
 
     wkeys = sorted(weights)
-    warrs = [jnp.atleast_2d(weights[k]) for k in wkeys]
+    warrs = [jnp.atleast_2d(weights[k]).astype(
+        jnp.float32 if k.endswith(("_b1", "_b2", "_b3", "_b4", "enc_b"))
+        else dtype) for k in wkeys]
 
-    def kernel(pv_ref, roi_ref, en_ref, lv_ref, de_ref, *rest):
+    def kernel(x_ref, pos_ref, *rest):
         wrefs, (off_ref, logit_ref) = rest[:-2], rest[-2:]
         w = {k: r[0] if weights[k].ndim == 1 else r[:]
              for k, r in zip(wkeys, wrefs)}
+        x = x_ref[:]
+        ps = pos_ref[:]
+        o = c_pv + c_roi
         off, logit = _decode_tile(
-            pv_ref[:], roi_ref[:], en_ref[:], lv_ref[:], de_ref[:], w,
+            x[:, :c_pv], x[:, c_pv:o],
+            ps[:, 0:3], ps[:, 3:6],
+            x[:, o:o + c_de], w,
             multires=multires, n_iter=n_iter, init_offset=init_offset,
             use_sigmoid=use_sigmoid, dtype=dtype)
         off_ref[:] = off[:, None]
         logit_ref[:] = logit[:, None]
 
-    row_spec = lambda c: pl.BlockSpec((tile, c), lambda i: (i, 0),
-                                      memory_space=pltpu.VMEM)
     w_specs = [pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
                for a in warrs]
     out_spec = pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -131,17 +146,18 @@ def fused_pair_decode(pair_vox: jnp.ndarray, roi: jnp.ndarray,
     off, logit = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[row_spec(pair_vox.shape[1]), row_spec(roi.shape[1]),
-                  row_spec(3), row_spec(3), row_spec(dir_e.shape[1]),
-                  *w_specs],
+        in_specs=[pl.BlockSpec((tile, cols), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((tile, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM), *w_specs],
         out_specs=(out_spec, out_spec),
         out_shape=(jax.ShapeDtypeStruct((p + pad, 1), jnp.float32),
                    jax.ShapeDtypeStruct((p + pad, 1), jnp.float32)),
         cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=(p + pad) * 300 * 2,
+            flops=flops, bytes_accessed=(p + pad) * cols * 2,
             transcendentals=(p + pad) * 6 * 2 * multires),
         interpret=interpret,
-    )(pair_vox, roi, enter, leave, dir_e, *warrs)
+    )(packed, pos, *warrs)
     return off[:p, 0], logit[:p, 0]
 
 

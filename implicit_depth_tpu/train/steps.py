@@ -135,6 +135,7 @@ def make_refine_train_step(cfg, lidf_model: LIDFModel,
 def make_refine_eval_step(cfg, lidf_model: LIDFModel,
                           refine_model: RefineModel) -> Callable:
     forward_times = int(cfg.refine.forward_times)
+    use_all_pix = bool(cfg.refine.use_all_pix)
 
     @jax.jit
     def eval_step(state: TrainState, lidf_vars, batch, key):
@@ -142,9 +143,16 @@ def make_refine_eval_step(cfg, lidf_model: LIDFModel,
                                 mask_type=cfg.mask_type)
         lidf_out = lidf_model.apply(lidf_vars, inputs, train=False,
                                     use_gt_label=False)
+        inject = None
+        if cfg.mask_type == "all" and not use_all_pix:
+            # restrict injected predictions to zero-input-depth pixels
+            zero_flat = (batch["depth_corrupt"].reshape(
+                batch["depth_corrupt"].shape[0], -1) == 0)
+            inject = jnp.take_along_axis(zero_flat, inputs["miss_idx"], axis=1)
         pred = lidf_out["pred_pos"]
         for _ in range(forward_times):
-            pred = refine_model.apply({"params": state.params}, inputs, lidf_out, pred)
+            pred = refine_model.apply({"params": state.params}, inputs,
+                                      lidf_out, pred, inject)
         losses = refine_loss(inputs, pred, **_loss_kwargs(cfg, False, jnp.asarray(10 ** 6)))
         return inputs, lidf_out, pred, losses
 

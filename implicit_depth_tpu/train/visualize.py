@@ -62,3 +62,15 @@ def dump_batch_visuals(out_dir: str, prefix: str, batch: Dict[str, np.ndarray],
     trans_sel &= mask_flat
     save_point_cloud(osp.join(out_dir, f"{prefix}_pred_transparent.ply"),
                      pred_cloud[trans_sel], colors[trans_sel])
+
+    # surface-normal images of GT and predicted clouds (train_lidf.py:486-581)
+    for name, cloud in (("gt", xyz), ("pred", pred_cloud)):
+        img = cloud.reshape(h, w, 3)
+        dx = np.zeros_like(img)
+        dy = np.zeros_like(img)
+        dx[:, :-1] = img[:, 1:] - img[:, :-1]
+        dy[:-1, :] = img[1:, :] - img[:-1, :]
+        n = np.cross(dx, dy)
+        n /= np.sqrt((n * n).sum(-1, keepdims=True) + 1e-12)
+        cv2.imwrite(osp.join(out_dir, f"{prefix}_{name}_normal.png"),
+                    _normal_png(n)[..., ::-1])

@@ -60,16 +60,16 @@ def main():
                   flush=True)
 
     h, wd, bs = 240, 320, 4
-    cfg = load_config(overrides={
-        "mask_type": "all", "dataset": {"img_height": h, "img_width": wd},
-        "tpu": {"compute_dtype": "bfloat16"}})
-    static = build_static(cfg)
-    raw = synthetic_batch(0, bs, h, wd)
-    batch = {k: jnp.asarray(v) for k, v in raw.items()}
-    inputs = jax.jit(lambda b, kk: prepare_inputs(static, b, kk, train=True))(
-        batch, key)
     for use_pallas in (False, True):
-        model = build_lidf(cfg, static).replace(use_pallas_decode=use_pallas)
+        cfg = load_config(overrides={
+            "mask_type": "all", "dataset": {"img_height": h, "img_width": wd},
+            "tpu": {"compute_dtype": "bfloat16", "use_pallas_decode": use_pallas}})
+        static = build_static(cfg)
+        raw = synthetic_batch(0, bs, h, wd)
+        batch = {k: jnp.asarray(v) for k, v in raw.items()}
+        inputs = jax.jit(lambda b, kk: prepare_inputs(static, b, kk, train=True))(
+            batch, key)
+        model = build_lidf(cfg, static)
         variables = jax.jit(lambda kk, i: model.init(
             kk, i, train=False, use_gt_label=False))(jax.random.key(1), inputs)
 
