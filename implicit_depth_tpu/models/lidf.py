@@ -207,15 +207,21 @@ class LIDFModel(nn.Module):
         fused TPU kernel computes posenc + both MLPs without materializing
         the embedding in HBM (ops/pallas_decode.py).
         """
-        if (self.use_pallas_decode and not self.is_initializing()
-                and pair_vox.ndim == 2 and self.pos_encode
-                and self.offdec_type == "IEF"):
-            from implicit_depth_tpu.ops.pallas_decode import fused_pair_decode
-            return fused_pair_decode(
-                pair_vox, roi_rows, enter, leave, dir_rows,
-                self._decoder_weights(), multires=self.multires,
-                n_iter=self.n_iter, use_sigmoid=self.use_sigmoid,
-                dtype=self.dtype)
+        fused_ok = self.pos_encode and self.offdec_type == "IEF"
+        if fused_ok and not self.is_initializing():
+            from implicit_depth_tpu.ops.pallas_decode import (
+                fused_pair_decode,
+                xla_pair_decode,
+            )
+            lead = pair_vox.shape[:-1]
+            rows = lambda x: x.reshape(-1, x.shape[-1])
+            fn = fused_pair_decode if self.use_pallas_decode else xla_pair_decode
+            off, logit = fn(rows(pair_vox), rows(roi_rows), rows(enter),
+                            rows(leave), rows(dir_rows),
+                            self._decoder_weights(), multires=self.multires,
+                            n_iter=self.n_iter, use_sigmoid=self.use_sigmoid,
+                            dtype=self.dtype)
+            return off.reshape(lead), logit.reshape(lead)
         enter_e = positional_encoding(enter, self.multires, self.pos_encode)
         leave_e = positional_encoding(leave, self.multires, self.pos_encode)
         embed = jnp.concatenate(

@@ -65,21 +65,37 @@ def _decode_tile(pair_vox, roi, enter, leave, dir_e, w,
                  *, multires: int, n_iter: int, init_offset: float,
                  use_sigmoid: bool, dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pure-jnp tile computation shared by the kernel body and the XLA
-    reference (guarantees bit-comparable semantics between both paths)."""
+    reference (guarantees bit-comparable semantics between both paths).
+
+    IEF layer-1 hoisting: the (P, 385) embed part of the iteration input is
+    constant across iterations, so ``embed @ W1[:385]`` is computed once; the
+    changing part is the encoded scalar offset, whose whole
+    ``offset -> enc(16) -> W1[385:]`` chain collapses to one rank-1 update
+    ``offset @ (off_enc_w @ W1[385:])`` plus a constant row. Numerically a
+    reassociation of the same sum (saves n_iter−1 full first-layer passes —
+    ~25% of decode FLOPs at n_iter=2).
+    """
     enter_e = _posenc(enter, multires)
     leave_e = _posenc(leave, multires)
     embed = jnp.concatenate([pair_vox, roi, enter_e, leave_e, dir_e],
                             -1).astype(dtype)
+    t, d_embed = embed.shape
+    act = lambda v: jnp.where(v > 0, v, LEAKY * v)
+    dot = lambda a, b: jax.lax.dot_general(
+        a.astype(dtype), b.astype(dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
-    t = embed.shape[0]
+    w1 = w["off_w1"]
+    e1 = dot(embed, w1[:d_embed]) + w["off_b1"]                  # (P, 4g) once
+    a_vec = dot(w["off_enc_w"], w1[d_embed:])                    # (1, 4g)
+    c_vec = dot(w["off_enc_b"][None, :], w1[d_embed:])[0]        # (4g,)
+
     offset = jnp.full((t, 1), init_offset, jnp.float32)
     for _ in range(n_iter):
-        feat = (jax.lax.dot_general(
-            offset.astype(dtype), w["off_enc_w"].astype(dtype),
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-            + w["off_enc_b"]).astype(dtype)
-        xc = jnp.concatenate([embed, feat], -1)
-        offset = offset + _mlp4(xc, w, "off", dtype)
+        h = act(e1 + offset * a_vec.astype(jnp.float32) + c_vec)
+        h = act(dot(h, w["off_w2"]) + w["off_b2"])
+        h = act(dot(h, w["off_w3"]) + w["off_b3"])
+        offset = offset + dot(h, w["off_w4"]) + w["off_b4"]
     logit = _mlp4(embed, w, "prob", dtype)
     squash = jax.nn.sigmoid if use_sigmoid else _soft_clamp
     return squash(offset)[:, 0], squash(logit)[:, 0]

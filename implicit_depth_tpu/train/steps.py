@@ -72,16 +72,37 @@ def make_lidf_train_step(cfg, model: LIDFModel) -> Callable:
     return train_step
 
 
-def make_lidf_eval_step(cfg, model: LIDFModel) -> Callable:
+def make_lidf_eval_step(cfg, model: LIDFModel, ray_axis: str | None = None) -> Callable:
     """Eval forward: mask_type-driven rays, no grad, running BN stats.
+
+    ``ray_axis``: optional mesh axis name to shard the RAY dimension over —
+    the sequence-parallel analog (SURVEY.md §5.7): at eval batch size 1 the
+    76 800 per-pixel rays (not the batch) are what scales across chips. Under
+    GSPMD a sharding constraint on the ray tensors is enough; XLA partitions
+    the pair tensors, decode, and reductions accordingly.
 
     Returns eval_step(state, batch, key) -> (inputs, outputs, losses).
     """
+    from jax.sharding import PartitionSpec as P
+
+    def shard_rays(inputs):
+        if ray_axis is None:
+            return inputs
+        cons = lambda x, spec: jax.lax.with_sharding_constraint(x, spec)
+        out = dict(inputs)
+        for k in ("miss_idx", "miss_slot", "miss_px", "miss_py"):
+            out[k] = cons(inputs[k], P(None, ray_axis))
+        out["miss_dir"] = cons(inputs["miss_dir"], P(None, ray_axis, None))
+        for k in ("pair_cell", "pair_valid", "t_enter", "t_exit", "pair_label"):
+            out[k] = cons(inputs[k], P(None, ray_axis, None))
+        out["gt_pos"] = cons(inputs["gt_pos"], P(None, ray_axis, None))
+        return out
 
     @jax.jit
     def eval_step(state: TrainState, batch, key):
         inputs = prepare_inputs(model.static, batch, key, train=False,
                                 mask_type=cfg.mask_type)
+        inputs = shard_rays(inputs)
         out = model.apply({"params": state.params,
                            "batch_stats": state.batch_stats},
                           inputs, train=False, use_gt_label=False)

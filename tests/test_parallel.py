@@ -78,6 +78,48 @@ def test_gspmd_train_step_grads_match_single_device(mesh):
                                    rtol=1e-3, atol=1e-5)
 
 
+def test_ray_axis_sharded_eval_matches_unsharded(mesh):
+    """Sequence-parallel analog: rays sharded over the mesh at eval bs=1."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from implicit_depth_tpu.config import load_config
+    from implicit_depth_tpu.data.synthetic import synthetic_batch
+    from implicit_depth_tpu.geometry.voxel import make_voxel_grid
+    from implicit_depth_tpu.models.lidf import LIDFModel, LIDFStatic, prepare_inputs
+    from implicit_depth_tpu.train.state import TrainState, make_tx
+    from implicit_depth_tpu.train.steps import make_lidf_eval_step
+
+    H, W = 48, 64
+    cfg = load_config(overrides={
+        "mask_type": "all", "dataset": {"img_height": H, "img_width": W},
+        "grid": {"valid_sample_num": 128},
+        "tpu": {"max_pairs_per_ray": 8, "compute_dtype": "float32"}})
+    static = LIDFStatic(grid=make_voxel_grid(8), n_valid=128, n_rays=H * W,
+                        k_pairs=8)
+    model = LIDFModel(static=static, rgb_out=8, pnet_out=16, pnet_gf=8,
+                      imnet_gf=8, resnet_stages=(1, 1, 1, 1))
+    raw = synthetic_batch(0, 1, H, W)
+    batch = {k: jnp.asarray(v) for k, v in raw.items()}
+    inputs = jax.jit(lambda b, k: prepare_inputs(static, b, k, train=False))(
+        batch, jax.random.key(0))
+    variables = jax.jit(lambda k, i: model.init(
+        k, i, train=False, use_gt_label=False))(jax.random.key(1), inputs)
+    tx = make_tx(cfg.training, 10)
+    state = TrainState.create(variables["params"], variables["batch_stats"], tx)
+
+    plain = make_lidf_eval_step(cfg, model)
+    _, out_a, loss_a = plain(state, batch, jax.random.key(2))
+
+    ray_mesh = Mesh(np.asarray(jax.devices()).reshape(1, 8), ("data", "rays"))
+    with jax.set_mesh(ray_mesh):
+        sharded = make_lidf_eval_step(cfg, model, ray_axis="rays")
+        _, out_b, loss_b = sharded(state, batch, jax.random.key(2))
+    np.testing.assert_allclose(float(loss_a["loss_net"]), float(loss_b["loss_net"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_a["pred_pos"]),
+                               np.asarray(out_b["pred_pos"]), atol=1e-4)
+
+
 def test_batch_sharding_layout(mesh):
     x = jnp.zeros((8, 4, 4))
     sharded = shard_batch({"x": x}, mesh)["x"]
