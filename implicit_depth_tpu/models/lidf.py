@@ -318,7 +318,11 @@ class LIDFModel(nn.Module):
             off_s, mode="drop", unique_indices=True).reshape(b, r, k)
         prob_logit = jnp.zeros((n_slots,), logit_s.dtype).at[row_w].set(
             logit_s, mode="drop", unique_indices=True).reshape(b, r, k)
-        return pred_offset, prob_logit
+        # decoded-slot mask: budget-dropped pairs must not compete in the
+        # per-ray softmax/argmax with a phantom logit of 0
+        decoded = jnp.zeros((n_slots,), bool).at[row_w].set(
+            sel_valid, mode="drop", unique_indices=True).reshape(b, r, k)
+        return pred_offset, prob_logit, decoded
 
     def __call__(self, inputs: Dict[str, jnp.ndarray], train: bool,
                  use_gt_label) -> Dict[str, jnp.ndarray]:
@@ -340,11 +344,15 @@ class LIDFModel(nn.Module):
         dir_e = positional_encoding(dirs, self.multires_views, self.pos_encode)
 
         if self.pairs_budget > 0:
-            pred_offset, prob_logit = self._decode_compacted(
+            pred_offset, prob_logit, decoded = self._decode_compacted(
                 inputs, vox_feat, roi, dir_e)
+            # pairs dropped by the budget are removed from all per-ray
+            # competitions (they have no real logits)
+            pair_valid = inputs["pair_valid"] & decoded
         else:
             pred_offset, prob_logit = self._decode_dense(
                 inputs, vox_feat, roi, dir_e)
+            pair_valid = inputs["pair_valid"]
 
         enter = dirs[:, :, None, :] * inputs["t_enter"][..., None]
         lo, hi = self.offset_range
@@ -354,10 +362,10 @@ class LIDFModel(nn.Module):
         # Termination voxel: softmax over detached logits; GT-label argmax
         # during the curriculum (maxpool_label_epo).
         prob_softmax = masked_softmax(jax.lax.stop_gradient(prob_logit),
-                                      inputs["pair_valid"])
+                                      pair_valid)
         gt_slot, _ = masked_argmax(inputs["pair_label"].astype(jnp.float32),
-                                   inputs["pair_valid"])
-        pr_slot, has_pair = masked_argmax(prob_softmax, inputs["pair_valid"])
+                                   pair_valid)
+        pr_slot, has_pair = masked_argmax(prob_softmax, pair_valid)
         use_gt = jnp.asarray(use_gt_label) & jnp.asarray(train)
         max_slot = jnp.where(use_gt, gt_slot, pr_slot)
 
@@ -371,6 +379,7 @@ class LIDFModel(nn.Module):
             "roi_feat": roi,
             "prob_logit": prob_logit,
             "prob_softmax": prob_softmax,
+            "pair_valid": pair_valid,
             "pair_pred_pos": pair_pred_pos,
             "max_slot": max_slot,
             "has_pair": has_pair,
@@ -435,11 +444,13 @@ def lidf_loss(inputs: Dict[str, jnp.ndarray],
     pos_l1 = jnp.mean(jnp.abs(pred_pos - gt_pos), axis=-1)
     pos_loss = reduce(pos_l1, slot)
 
-    # per-ray termination CE (pipeline.py:480-490)
-    log_sm = masked_log_softmax(outputs["prob_logit"], inputs["pair_valid"])
-    has_label = jnp.any(inputs["pair_label"], axis=-1)
+    # per-ray termination CE (pipeline.py:480-490); the mask excludes pairs
+    # the compaction budget dropped (outputs["pair_valid"])
+    pair_valid = outputs.get("pair_valid", inputs["pair_valid"])
+    log_sm = masked_log_softmax(outputs["prob_logit"], pair_valid)
+    has_label = jnp.any(inputs["pair_label"] & pair_valid, axis=-1)
     gt_slot, _ = masked_argmax(inputs["pair_label"].astype(jnp.float32),
-                               inputs["pair_valid"])
+                               pair_valid)
     ce = -jnp.take_along_axis(log_sm, gt_slot[..., None], axis=-1)[..., 0]
     prob_loss = reduce(ce, slot & has_label)
 
@@ -465,7 +476,7 @@ def lidf_loss(inputs: Dict[str, jnp.ndarray],
                 + smooth_w * jnp.asarray(smooth_on, jnp.float32) * smooth_loss)
 
     # metrics (pipeline.py:549-566)
-    pr_slot, _ = masked_argmax(outputs["prob_softmax"], inputs["pair_valid"])
+    pr_slot, _ = masked_argmax(outputs["prob_softmax"], pair_valid)
     acc = masked_mean((pr_slot == gt_slot).astype(jnp.float32), slot)
     nz = (jnp.sum(jnp.abs(gt_pos), -1) != 0) & slot
     l2 = jnp.sqrt(jnp.sum((pred_pos - gt_pos) ** 2, -1))

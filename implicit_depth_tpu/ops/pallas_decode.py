@@ -106,7 +106,7 @@ def fused_pair_decode(pair_vox: jnp.ndarray, roi: jnp.ndarray,
                       dir_e: jnp.ndarray, weights: Dict[str, jnp.ndarray],
                       *, multires: int = 8, n_iter: int = 2,
                       init_offset: float = 0.001, use_sigmoid: bool = False,
-                      dtype=jnp.bfloat16, tile: int = 2048,
+                      dtype=jnp.bfloat16, tile: int = 512,
                       interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(P, …) compacted pair features -> (offset (P,), prob_logit (P,)).
 
