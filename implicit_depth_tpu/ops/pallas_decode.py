@@ -44,13 +44,17 @@ def _posenc(x, multires: int):
 
 
 def _mlp4(x, w, prefix: str, dtype):
+    """Intermediate activations stay in ``dtype`` (bf16): the MXU still
+    accumulates in f32 internally, but materializing f32 activation tensors
+    doubles HBM traffic for zero accuracy benefit. Only the final scalar
+    comes out f32."""
     act = lambda v: jnp.where(v > 0, v, LEAKY * v)
     h = x
     for i in (1, 2, 3):
         h = act(jax.lax.dot_general(
             h.astype(dtype), w[f"{prefix}_w{i}"].astype(dtype),
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-            + w[f"{prefix}_b{i}"])
+            (((1,), (0,)), ((), ())), preferred_element_type=dtype)
+            + w[f"{prefix}_b{i}"].astype(dtype))
     return (jax.lax.dot_general(
         h.astype(dtype), w[f"{prefix}_w4"].astype(dtype),
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
@@ -81,21 +85,21 @@ def _decode_tile(pair_vox, roi, enter, leave, dir_e, w,
                             -1).astype(dtype)
     t, d_embed = embed.shape
     act = lambda v: jnp.where(v > 0, v, LEAKY * v)
-    dot = lambda a, b: jax.lax.dot_general(
+    dot = lambda a, b, out=None: jax.lax.dot_general(
         a.astype(dtype), b.astype(dtype), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=out or dtype)
 
     w1 = w["off_w1"]
-    e1 = dot(embed, w1[:d_embed]) + w["off_b1"]                  # (P, 4g) once
-    a_vec = dot(w["off_enc_w"], w1[d_embed:])                    # (1, 4g)
-    c_vec = dot(w["off_enc_b"][None, :], w1[d_embed:])[0]        # (4g,)
+    e1 = dot(embed, w1[:d_embed], jnp.float32) + w["off_b1"]     # (P, 4g) once
+    a_vec = dot(w["off_enc_w"], w1[d_embed:], jnp.float32)       # (1, 4g)
+    c_vec = dot(w["off_enc_b"][None, :], w1[d_embed:], jnp.float32)[0]
 
     offset = jnp.full((t, 1), init_offset, jnp.float32)
     for _ in range(n_iter):
-        h = act(e1 + offset * a_vec.astype(jnp.float32) + c_vec)
-        h = act(dot(h, w["off_w2"]) + w["off_b2"])
-        h = act(dot(h, w["off_w3"]) + w["off_b3"])
-        offset = offset + dot(h, w["off_w4"]) + w["off_b4"]
+        h = act(e1 + offset * a_vec + c_vec).astype(dtype)
+        h = act(dot(h, w["off_w2"]) + w["off_b2"].astype(dtype))
+        h = act(dot(h, w["off_w3"]) + w["off_b3"].astype(dtype))
+        offset = offset + dot(h, w["off_w4"], jnp.float32) + w["off_b4"]
     logit = _mlp4(embed, w, "prob", dtype)
     squash = jax.nn.sigmoid if use_sigmoid else _soft_clamp
     return squash(offset)[:, 0], squash(logit)[:, 0]

@@ -98,6 +98,39 @@ def _merge_static(template: Any, loaded: Any) -> Any:
     return loaded
 
 
+def merge_compatible(target: Any, loaded: Any, path: str = "") -> Any:
+    """Shape-tolerant merge ≙ the reference's ``restore``
+    (utils/training_utils.py:27-63): take ``loaded`` leaves whose shape and
+    dtype match the target; keep the target's value (and report) otherwise.
+    Missing/extra subtrees fall back to the target likewise.
+    """
+    import jax.numpy as jnp
+
+    if isinstance(target, dict):
+        if not isinstance(loaded, dict):
+            print(f"ckpt merge: subtree mismatch at {path!r}, keeping target")
+            return target
+        out = {}
+        for k, v in target.items():
+            if k in loaded:
+                out[k] = merge_compatible(v, loaded[k], f"{path}/{k}")
+            else:
+                print(f"ckpt merge: missing {path}/{k}, keeping target")
+                out[k] = v
+        return out
+    t = np.asarray(target)
+    try:
+        l = np.asarray(loaded)
+    except Exception:
+        print(f"ckpt merge: unreadable leaf at {path!r}, keeping target")
+        return target
+    if t.shape != l.shape:
+        print(f"ckpt merge: shape mismatch at {path!r} "
+              f"({l.shape} vs {t.shape}), keeping target")
+        return target
+    return jnp.asarray(l.astype(t.dtype))
+
+
 def restore_params_only(ckpt_dir: str, params_template: Any,
                         name: str = LATEST) -> Tuple[Any, Any]:
     """Load just (params, batch_stats) — e.g. the frozen stage-1 LIDF inside
