@@ -47,9 +47,14 @@ def _loss_kwargs(cfg, train: bool, epoch):
 
 
 def make_lidf_train_step(cfg, model: LIDFModel) -> Callable:
-    """Returns train_step(state, batch, key, epoch) -> (state, metrics)."""
+    """Returns train_step(state, batch, key, epoch) -> (state, metrics).
 
-    @jax.jit
+    The state is donated: params/opt-state buffers are updated in place
+    rather than copied every step (callers must not reuse the old state —
+    the trainers rebind immediately).
+    """
+
+    @functools.partial(jax.jit, donate_argnames=("state",))
     def train_step(state: TrainState, batch, key, epoch):
         inputs = prepare_inputs(model.static, batch, key, train=True,
                                 mask_type=cfg.mask_type)
@@ -125,7 +130,7 @@ def make_refine_train_step(cfg, lidf_model: LIDFModel,
     perturb = bool(cfg.refine.perturb)
     perturb_prob = float(cfg.refine.perturb_prob)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnames=("state",))
     def train_step(state: TrainState, lidf_vars, batch, key, epoch):
         k_prep, k_noise = jax.random.split(key)
         inputs = prepare_inputs(lidf_model.static, batch, k_prep, train=True,

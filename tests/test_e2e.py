@@ -136,13 +136,18 @@ def test_lidf_forward_loss_grads(stage1):
 def test_train_step_updates(stage1, batch):
     cfg, static, lidf, _, inp, variables, _ = stage1
     tx = make_tx(cfg.training, steps_per_epoch=10)
-    state = TrainState.create(variables["params"], variables["batch_stats"], tx)
+    # the train step DONATES the state: give it private copies and snapshot
+    # the originals as numpy before stepping
+    params0 = jax.tree.map(np.asarray, variables["params"])
+    state = TrainState.create(jax.tree.map(jnp.array, variables["params"]),
+                              jax.tree.map(jnp.array, variables["batch_stats"]),
+                              tx)
     step = make_lidf_train_step(cfg, lidf)
     state2, losses = step(state, batch, jax.random.key(2), jnp.asarray(0))
     assert state2.step == 1
     assert np.isfinite(float(losses["loss_net"]))
-    diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
-                        state.params, state2.params)
+    diff = jax.tree.map(lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+                        state2.params, params0)
     assert max(jax.tree.leaves(diff)) > 0
     # second step reuses the compiled fn, different epoch value
     state3, losses3 = step(state2, batch, jax.random.key(3), jnp.asarray(7))
@@ -179,10 +184,11 @@ def test_refine_step(stage1, batch):
     assert np.isfinite(float(losses["loss_net"]))
 
     tx = make_tx(cfg.training, steps_per_epoch=10)
-    state = TrainState.create(rvars["params"], {}, tx)
+    params0 = jax.tree.map(np.asarray, rvars["params"])
+    state = TrainState.create(jax.tree.map(jnp.array, rvars["params"]), {}, tx)
     rstep = make_refine_train_step(cfg, lidf, refine)
     state2, rlosses = rstep(state, lidf_vars, batch, jax.random.key(3), jnp.asarray(0))
     assert np.isfinite(float(rlosses["loss_net"]))
-    diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
-                        state.params, state2.params)
+    diff = jax.tree.map(lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+                        state2.params, params0)
     assert max(jax.tree.leaves(diff)) > 0
