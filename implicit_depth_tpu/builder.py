@@ -16,13 +16,18 @@ _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
 def build_static(cfg: Config, n_rays: int | None = None,
                  n_valid: int | None = None) -> LIDFStatic:
     grid = make_voxel_grid(cfg.grid.res)
+    nv = n_valid if n_valid is not None else cfg.grid.valid_sample_num
+    use_all_valid = nv == -1  # ≙ reference pipeline.py:137-140 (all valid pts)
+    if use_all_valid:
+        nv = cfg.dataset.img_height * cfg.dataset.img_width
     return LIDFStatic(
         grid=grid,
-        n_valid=n_valid or cfg.grid.valid_sample_num,
+        n_valid=nv,
         n_rays=n_rays or cfg.grid.miss_sample_num,
         k_pairs=cfg.tpu.max_pairs_per_ray,
         roi_inp_bbox=cfg.model.roi_inp_bbox,
         roi_out_bbox=cfg.model.roi_out_bbox,
+        use_all_valid=use_all_valid,
     )
 
 
@@ -47,7 +52,9 @@ def build_lidf(cfg: Config, static: LIDFStatic) -> LIDFModel:
         use_sigmoid=m.use_sigmoid,
         offset_range=tuple(cfg.grid.offset_range),
         pairs_budget=cfg.tpu.get("pairs_budget_per_ray", 0),
+        pairs_budget_mode=cfg.tpu.get("pairs_budget_mode", "per_ray"),
         use_pallas_decode=cfg.tpu.get("use_pallas_decode", False),
+        remat_backbone=cfg.tpu.get("remat_backbone", False),
         dtype=compute_dtype(cfg),
     )
 

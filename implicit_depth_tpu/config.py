@@ -171,6 +171,10 @@ _DEFAULTS: Dict[str, Any] = {
         "gamma_scale": 0.001,
         "gaussian_scale": 0.005,
         "gp_rescale_factor": 4,
+        # mask_type='pred' support (pipeline.py:117-129): emit a 'pred_mask'
+        # batch key, from pred_mask_dir PNGs or (fallback) the GT corrupt mask
+        "provide_pred_mask": False,
+        "pred_mask_dir": None,
     },
     "model": {
         "rgb_model_type": "resnet",
@@ -256,7 +260,9 @@ _DEFAULTS: Dict[str, Any] = {
     # TPU-native settings (no reference equivalent).
     "tpu": {
         "max_pairs_per_ray": 20,     # K slots in the static (R, K) pair tensor
-        "pairs_budget_per_ray": 8,   # avg pairs/ray decoded after compaction; 0 = dense
+        "pairs_budget_per_ray": 8,   # pairs/ray decoded; 0 = dense (all K)
+        "pairs_budget_mode": "per_ray",  # 'per_ray' nearest-K truncation |
+                                         # 'global' cross-ray compaction
         "use_pallas_decode": False,  # fused TPU kernel for the pair decode
         "mesh_axes": ["data"],       # SPMD mesh axis names
         "mesh_shape": None,          # None => all visible devices on 'data'

@@ -413,6 +413,42 @@ class SyntheticDataset:
         return s
 
 
+class PredMaskDataset:
+    """Adds a ``pred_mask`` key: the transparent-region prediction of an
+    EXTERNAL segmentation model, consumed by ``mask_type='pred'`` eval
+    (≙ reference pipeline.py:117-129, where pred_mask is passed into
+    ``LIDF.forward``). Masks are read from ``pred_mask_dir`` (one PNG per
+    item, matched by sanitized item_path, nearest-resized to the sample);
+    with no directory the GT ``corrupt_mask`` is used — i.e. a perfect
+    segmentor, the upper bound the reference's external masks approximate."""
+
+    def __init__(self, base, pred_mask_dir: Optional[str] = None):
+        self.base = base
+        self.pred_mask_dir = pred_mask_dir
+
+    def __len__(self):
+        return len(self.base)
+
+    def __getitem__(self, idx: int, epoch: int = 0) -> Dict[str, np.ndarray]:
+        s = self.base.__getitem__(idx, epoch)
+        pm = None
+        if self.pred_mask_dir:
+            name = str(s.get("item_path", idx)).replace("/", "_").replace("\\", "_")
+            name = osp.splitext(name)[0]
+            for cand in (osp.join(self.pred_mask_dir, name + ".png"),
+                         osp.join(self.pred_mask_dir, f"{idx:06d}.png")):
+                if osp.exists(cand):
+                    m = cv2.imread(cand, cv2.IMREAD_GRAYSCALE)
+                    h, w = s["corrupt_mask"].shape
+                    m = cv2.resize(m, (w, h), interpolation=cv2.INTER_NEAREST)
+                    pm = (m > 127).astype(np.float32)
+                    break
+        if pm is None:
+            pm = np.asarray(s["corrupt_mask"], np.float32)
+        s["pred_mask"] = pm
+        return s
+
+
 def get_dataset(cfg_dataset, exp_type: str, obj_type: str = "known",
                 base_seed: int = 0):
     """Dataset factory ≙ the reference's per-module get_dataset functions
@@ -423,8 +459,14 @@ def get_dataset(cfg_dataset, exp_type: str, obj_type: str = "known",
     cg_root = params.get("cleargrasp_root_dir")
     omni_root = params.get("omniverse_root_dir")
 
+    def maybe_pred_mask(ds):
+        if params.get("provide_pred_mask") or params.get("pred_mask_dir"):
+            return PredMaskDataset(ds, params.get("pred_mask_dir"))
+        return ds
+
     if dtype == "synthetic":
-        return SyntheticDataset(params.get("synthetic_len", 64), params, base_seed)
+        return maybe_pred_mask(
+            SyntheticDataset(params.get("synthetic_len", 64), params, base_seed))
 
     def cg_syn():
         if exp_type == "train":
@@ -445,11 +487,11 @@ def get_dataset(cfg_dataset, exp_type: str, obj_type: str = "known",
         return Omniverse(sub, exp_type, params, base_seed)
 
     if dtype == "cleargrasp_synthetic":
-        return cg_syn()
+        return maybe_pred_mask(cg_syn())
     if dtype == "cleargrasp_real":
-        return cg_real()
+        return maybe_pred_mask(cg_real())
     if dtype == "omniverse":
-        return omni()
+        return maybe_pred_mask(omni())
     if dtype == "mixed":
-        return MixedDataset([cg_syn(), omni()])
+        return maybe_pred_mask(MixedDataset([cg_syn(), omni()]))
     raise ValueError(f"unknown dataset type {dtype!r}")

@@ -24,6 +24,8 @@ _STACK_KEYS = ("rgb", "depth", "depth_corrupt", "xyz", "xyz_corrupt",
 
 def collate(samples) -> Dict[str, np.ndarray]:
     batch = {k: np.stack([s[k] for s in samples]) for k in _STACK_KEYS}
+    if "pred_mask" in samples[0]:  # optional: mask_type='pred' eval
+        batch["pred_mask"] = np.stack([s["pred_mask"] for s in samples])
     batch["item_path"] = [s["item_path"] for s in samples]
     return batch
 

@@ -55,11 +55,12 @@ class LIDFStatic:
     """Static (python) shape/geometry configuration shared by prepare/model."""
 
     grid: VoxelGrid
-    n_valid: int = 10000       # grid.valid_sample_num
+    n_valid: int = 10000       # grid.valid_sample_num (H*W when use_all_valid)
     n_rays: int = 20000        # grid.miss_sample_num (train); H*W at eval
     k_pairs: int = 20          # tpu.max_pairs_per_ray
     roi_inp_bbox: int = 8
     roi_out_bbox: int = 2
+    use_all_valid: bool = False  # grid.valid_sample_num == -1 (pipeline.py:137-140)
 
 
 def prepare_inputs(static: LIDFStatic,
@@ -84,7 +85,10 @@ def prepare_inputs(static: LIDFStatic,
         miss_mask = corrupt_mask
         valid_mask = batch["valid_mask"] > 0.5
     elif mask_type == "pred":
-        assert pred_mask is not None
+        if pred_mask is None:
+            raise ValueError(
+                "mask_type='pred' needs a pred_mask — supply a 'pred_mask' "
+                "batch key (dataset.provide_pred_mask / dataset.pred_mask_dir)")
         miss_mask = pred_mask > 0.5
         valid_mask = ~miss_mask
     else:  # 'all': every zero-input-depth pixel is a ray
@@ -94,7 +98,13 @@ def prepare_inputs(static: LIDFStatic,
     k_valid, k_miss = jax.random.split(key)
 
     # --- valid points (get_valid_points, :137-160) -------------------------
-    vidx, vslot, _ = sample_valid_stratified(valid_mask, static.n_valid, k_valid)
+    if static.use_all_valid:
+        # valid_sample_num == -1: every valid pixel is a point (static TPU
+        # form: all H*W slots, validity in the slot mask)
+        vidx = jnp.broadcast_to(jnp.arange(h * w, dtype=jnp.int32)[None], (b, h * w))
+        vslot = valid_mask.reshape(b, -1)
+    else:
+        vidx, vslot, _ = sample_valid_stratified(valid_mask, static.n_valid, k_valid)
     take_pix = lambda img_flat, idx: jnp.take_along_axis(img_flat, idx[..., None], axis=1)
     xyz_corrupt_flat = batch["xyz_corrupt"].reshape(b, h * w, 3)
     valid_xyz = take_pix(xyz_corrupt_flat, vidx)
@@ -135,6 +145,7 @@ def prepare_inputs(static: LIDFStatic,
         "valid_xyz": valid_xyz,
         "valid_rgb": valid_rgb,
         "valid_slot": vslot,
+        "valid_idx": vidx,
         "vox_cell_id": vox["cell_id"],
         "vox_point_valid": vox["valid"],
         "vox_rel_coord": vox["rel_coord"],
@@ -171,12 +182,16 @@ class LIDFModel(nn.Module):
     offset_range: tuple = (0.0, 1.0)
     resnet_stages: tuple = (3, 4, 6, 3)
     pairs_budget: int = 0   # avg pair slots/ray to decode after compaction; 0 = dense
+    pairs_budget_mode: str = "per_ray"  # 'per_ray' truncation | 'global' compaction
     use_pallas_decode: bool = False  # fused TPU kernel for the pair decode
+    remat_backbone: bool = False  # jax.checkpoint the ResNet (trade FLOPs for HBM)
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.resnet = ResNet34_8s(out_ch=self.rgb_out, stage_sizes=self.resnet_stages,
-                                  dtype=self.dtype)
+        resnet_cls = (nn.remat(ResNet34_8s, static_argnums=(2,))
+                      if self.remat_backbone else ResNet34_8s)
+        self.resnet = resnet_cls(out_ch=self.rgb_out, stage_sizes=self.resnet_stages,
+                                 dtype=self.dtype)
         self.pnet = PointNet2Stage(out_channels=self.pnet_out, gf_dim=self.pnet_gf,
                                    dtype=self.dtype)
         if self.offdec_type == "IEF":
@@ -244,6 +259,29 @@ class LIDFModel(nn.Module):
             w[f"prob_w{i + 1}"] = prob["_MLP4_0"][f"Dense_{i}"]["kernel"]
             w[f"prob_b{i + 1}"] = prob["_MLP4_0"][f"Dense_{i}"]["bias"]
         return w
+
+    def _decode_ray_major(self, inputs, vox_feat, roi, dir_e):
+        """Fused ray-major decode (ops/pallas_ray_decode.py): contiguous
+        (B, R, Kb) slots, per-ray features broadcast in-kernel, posenc
+        in-register. Used by the per_ray budget mode on TPU."""
+        from implicit_depth_tpu.ops.pallas_ray_decode import fused_ray_decode
+
+        grid = self.static.grid
+        b, r, kb = inputs["pair_valid"].shape
+        global_cell = (jnp.arange(b, dtype=jnp.int32)[:, None, None] * grid.n_cells
+                       + inputs["pair_cell"])
+        pair_vox = vox_feat[global_cell].reshape(b * r * kb, -1)
+        enter, leave = self._pair_positions(inputs)
+        pos = jnp.concatenate(
+            [enter, leave, jnp.zeros_like(enter[..., :2])],
+            axis=-1).reshape(b * r * kb, 8).astype(jnp.float32)
+        ray_feat = jnp.concatenate([roi, dir_e], -1).reshape(b * r, -1)
+        off, logit = fused_ray_decode(
+            pair_vox.astype(self.dtype), pos, ray_feat.astype(self.dtype),
+            self._decoder_weights(), kb, self.multires, self.n_iter, 0.001,
+            self.use_sigmoid, self.dtype, 256,
+            jax.default_backend() != "tpu")  # interpret off-TPU
+        return off.reshape(b, r, kb), logit.reshape(b, r, kb)
 
     def _pair_positions(self, inputs):
         grid = self.static.grid
@@ -330,7 +368,8 @@ class LIDFModel(nn.Module):
         b, r, k = inputs["pair_valid"].shape
 
         # RGB backbone + per-ray ROI feature (broadcast over K pair slots).
-        feat_map = self.resnet(inputs["rgb"], train=train)
+        # (train passed positionally: nn.remat static_argnums=(2,))
+        feat_map = self.resnet(inputs["rgb"], train)
         pix_xy = jnp.stack([inputs["miss_px"], inputs["miss_py"]], axis=-1)
         bidx = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None], (b, r))
         roi = roi_window_pool(feat_map, pix_xy, bidx,
@@ -343,7 +382,33 @@ class LIDFModel(nn.Module):
         dirs = inputs["miss_dir"]
         dir_e = positional_encoding(dirs, self.multires_views, self.pos_encode)
 
-        if self.pairs_budget > 0:
+        if self.pairs_budget > 0 and self.pairs_budget_mode == "per_ray" \
+                and self.pairs_budget < k:
+            # Per-ray truncation: the DDA pair slots are t-sorted and
+            # front-packed (ops/ray_grid.py), so the first `budget` slots ARE
+            # each ray's nearest pairs. Decoding that dense (B, R, budget)
+            # block needs no compaction indices, no gather/scatter, and every
+            # tensor feeding the decode stays contiguous — the layout the
+            # fused kernel wants. Rays with more pairs lose their farthest
+            # ones (the global mode drops farthest-K globally instead).
+            kb = self.pairs_budget
+            sliced = dict(inputs)
+            for key in ("pair_cell", "pair_valid", "t_enter", "t_exit"):
+                sliced[key] = inputs[key][:, :, :kb]
+            fused_ok = (self.use_pallas_decode and self.pos_encode
+                        and self.offdec_type == "IEF"
+                        and not self.is_initializing())
+            if fused_ok:
+                off_b, logit_b = self._decode_ray_major(sliced, vox_feat,
+                                                        roi, dir_e)
+            else:
+                off_b, logit_b = self._decode_dense(sliced, vox_feat, roi, dir_e)
+            pad = ((0, 0), (0, 0), (0, k - kb))
+            pred_offset = jnp.pad(off_b, pad)
+            prob_logit = jnp.pad(logit_b, pad)
+            decoded = jnp.pad(jnp.ones_like(off_b, dtype=bool), pad)
+            pair_valid = inputs["pair_valid"] & decoded
+        elif self.pairs_budget > 0 and self.pairs_budget_mode == "global":
             pred_offset, prob_logit, decoded = self._decode_compacted(
                 inputs, vox_feat, roi, dir_e)
             # pairs dropped by the budget are removed from all per-ray

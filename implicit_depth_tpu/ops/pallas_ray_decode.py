@@ -1,0 +1,279 @@
+"""Ray-major fused implicit decode — Pallas TPU kernel (round-2 hot path).
+
+Replaces the pair-compacted kernel (ops/pallas_decode.py) for the
+``pairs_budget_mode='per_ray'`` layout: the DDA pair slots are t-sorted and
+front-packed (ops/ray_grid.py), so decoding the first ``Kb`` slots of every
+ray is a DENSE (N_rays, Kb) computation with zero gathers:
+
+  * per-PAIR inputs (voxel feature rows, enter/exit positions) arrive
+    contiguously as (N_rays·Kb, C) blocks — plain sequential DMA;
+  * per-RAY inputs (ROI RGB feature + encoded view direction, 155 cols)
+    arrive once per ray and are broadcast over the Kb slots **inside** the
+    kernel — an HBM-traffic and FLOP reduction the (P, 385) materialized
+    layout can't express: layer 1 of both decoders is split into a pair part
+    ([vox | posenc(enter) | posenc(leave)] rows) and a ray part
+    ([roi | dir_e] rows) computed once per ray (T×155·4g vs T·Kb×155·4g);
+  * positional encodings are computed in-register from the raw 3-d
+    positions (the XLA path materializes lane-padded (P, 3) sin/cos chains —
+    the measured per-pair overhead hotspot, BASELINE.md);
+  * all MLP weights (~0.6 MB bf16) stay VMEM-resident across the grid.
+
+Embedding layout parity (pipeline.py:431-433): the logical embed is
+[vox(Cv) | roi(128) | enter_e(51) | leave_e(51) | dir_e(27)]; the caller
+passes full layer-1 matrices and ``split_l1`` reorders rows into the
+pair/ray parts — a pure reindexing, numerically identical.
+
+Training: ``fused_ray_decode`` ships a custom VJP whose backward re-runs the
+identical-math XLA path (``xla_ray_decode``) under ``jax.vjp`` — exact
+gradients, kernel-fast forward. (A fused backward kernel is a further step;
+the forward is where the eval/serving FLOPs are.)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LEAKY = 0.02
+
+
+def _posenc_pair(pos8, multires: int, dtype):
+    """pos8: (rows, 8) f32 = [enter xyz | leave xyz | pad]. Returns
+    (rows, 6·(1+2·multires)) in ``dtype`` laid out as
+    [enter | sin/cos blocks ... | leave | sin/cos blocks ...] matching
+    models/embedder.py (per-freq sin block then cos block)."""
+    out = []
+    for base in (0, 3):
+        x = pos8[:, base:base + 3]
+        parts = [x]
+        for j in range(multires):
+            f = np.float32(2.0 ** j)
+            parts.append(jnp.concatenate([jnp.sin(x * f), jnp.cos(x * f)], -1))
+        out.append(jnp.concatenate(parts, -1))
+    return jnp.concatenate(out, -1).astype(dtype)
+
+
+def split_l1(w1: jnp.ndarray, c_vox: int, c_roi: int, c_pos: int, c_dir: int):
+    """Split a layer-1 kernel (in_dim, out) over the embed layout
+    [vox | roi | pos | dir (+ extra rows e.g. IEF offset-enc)] into
+    (pair_rows = vox+pos+extra, ray_rows = roi+dir)."""
+    o1 = c_vox
+    o2 = o1 + c_roi
+    o3 = o2 + c_pos
+    o4 = o3 + c_dir
+    w_pair = jnp.concatenate([w1[:o1], w1[o2:o3], w1[o4:]], axis=0)
+    w_ray = jnp.concatenate([w1[o1:o2], w1[o3:o4]], axis=0)
+    return w_pair, w_ray
+
+
+def _decode_rows(pair_vox, pe, ray_e1_off, ray_e1_prob, w, kb,
+                 *, n_iter, init_offset, use_sigmoid, dtype):
+    """Shared tile math. pair_vox (rows, Cv) ``dtype``; pe (rows, 102)
+    ``dtype``; ray_e1_* (rows/kb, 4g) f32 (per-ray layer-1 partials);
+    w: split weights. Returns (offset (rows,), logit (rows,)) f32."""
+    rows = pair_vox.shape[0]
+    act = lambda v: jnp.where(v > 0, v, LEAKY * v)
+    dot = lambda a, b, out=None: jax.lax.dot_general(
+        a.astype(dtype), b.astype(dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=out or dtype)
+
+    pair_in = jnp.concatenate([pair_vox, pe], axis=-1)
+
+    def bcast(ray_part):  # (rows/kb, 4g) -> (rows, 4g)
+        t = ray_part.shape[0]
+        g4 = ray_part.shape[1]
+        return jnp.broadcast_to(ray_part.reshape(t, 1, g4),
+                                (t, kb, g4)).reshape(rows, g4)
+
+    # --- offset decoder (IEF, layer-1 hoisted across iterations) ----------
+    e1_off = (dot(pair_in, w["offp_w1"], jnp.float32) + bcast(ray_e1_off)
+              + w["off_b1"])
+    a_vec = dot(w["off_enc_w"], w["offx_w1"], jnp.float32)       # (1, 4g)
+    c_vec = dot(w["off_enc_b"][None, :], w["offx_w1"], jnp.float32)[0]
+    offset = jnp.full((rows, 1), init_offset, jnp.float32)
+    for _ in range(n_iter):
+        h = act(e1_off + offset * a_vec + c_vec).astype(dtype)
+        h = act(dot(h, w["off_w2"]) + w["off_b2"].astype(dtype))
+        h = act(dot(h, w["off_w3"]) + w["off_b3"].astype(dtype))
+        offset = offset + dot(h, w["off_w4"], jnp.float32) + w["off_b4"]
+
+    # --- termination-probability decoder (IMNet) ---------------------------
+    h = act(dot(pair_in, w["probp_w1"], jnp.float32) + bcast(ray_e1_prob)
+            + w["prob_b1"]).astype(dtype)
+    h = act(dot(h, w["prob_w2"]) + w["prob_b2"].astype(dtype))
+    h = act(dot(h, w["prob_w3"]) + w["prob_b3"].astype(dtype))
+    logit = dot(h, w["prob_w4"], jnp.float32) + w["prob_b4"]
+
+    sq = jax.nn.sigmoid if use_sigmoid else (
+        lambda x: jnp.maximum(jnp.minimum(x, 0.01 * x + 0.99), 0.01 * x))
+    return sq(offset)[:, 0], sq(logit)[:, 0]
+
+
+def _prep_weights(weights: Dict[str, jnp.ndarray], c_vox: int, c_roi: int,
+                  c_pos: int, c_dir: int, dtype):
+    """Reorganize the pipeline weight dict (ops/pallas_decode.py layout) into
+    the split pair/ray form this kernel consumes."""
+    offp, offr = split_l1(weights["off_w1"], c_vox, c_roi, c_pos, c_dir)
+    # IEF w1 carries 16 extra offset-enc rows at the END of the input dim;
+    # keep them separate (offx) — they multiply the encoded running offset.
+    n_extra = weights["off_w1"].shape[0] - (c_vox + c_roi + c_pos + c_dir)
+    offx = offp[-n_extra:] if n_extra else offp[:0]
+    offp = offp[:offp.shape[0] - n_extra] if n_extra else offp
+    probp, probr = split_l1(weights["prob_w1"], c_vox, c_roi, c_pos, c_dir)
+    w = {
+        "offp_w1": offp, "offr_w1": offr, "offx_w1": offx,
+        "probp_w1": probp, "probr_w1": probr,
+        "off_enc_w": weights["off_enc_w"], "off_enc_b": weights["off_enc_b"],
+    }
+    for p in ("off", "prob"):
+        for i in (1, 2, 3, 4):
+            w[f"{p}_b{i}"] = weights[f"{p}_b{i}"]
+            if i > 1:
+                w[f"{p}_w{i}"] = weights[f"{p}_w{i}"]
+    cast = lambda k, a: (jnp.asarray(a, jnp.float32)
+                         if k.endswith(("_b1", "_b2", "_b3", "_b4", "enc_b"))
+                         else jnp.asarray(a, dtype))
+    return {k: cast(k, a) for k, a in w.items()}
+
+
+def xla_ray_decode(pair_vox: jnp.ndarray, pos: jnp.ndarray,
+                   ray_feat: jnp.ndarray, weights: Dict[str, jnp.ndarray],
+                   *, kb: int, multires: int = 8, n_iter: int = 2,
+                   init_offset: float = 0.001, use_sigmoid: bool = False,
+                   dtype=jnp.bfloat16) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Identical math, plain XLA — the kernel's correctness oracle, CPU
+    fallback, and the recompute path for the custom VJP backward.
+
+    pair_vox: (N·kb, Cv); pos: (N·kb, 8) f32; ray_feat: (N, Cr).
+    """
+    c_vox = pair_vox.shape[1]
+    c_ray = ray_feat.shape[1]
+    c_pos = 6 * (1 + 2 * multires)
+    w = _prep_weights(weights, c_vox, c_ray - 27, c_pos, 27, dtype)
+    dot = lambda a, b: jax.lax.dot_general(
+        a.astype(dtype), b.astype(dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ray_e1_off = dot(ray_feat, w["offr_w1"])
+    ray_e1_prob = dot(ray_feat, w["probr_w1"])
+    pe = _posenc_pair(pos, multires, dtype)
+    return _decode_rows(pair_vox.astype(dtype), pe, ray_e1_off, ray_e1_prob,
+                        w, kb, n_iter=n_iter, init_offset=init_offset,
+                        use_sigmoid=use_sigmoid, dtype=dtype)
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
+def fused_ray_decode(pair_vox, pos, ray_feat, weights,
+                     kb, multires=8, n_iter=2, init_offset=0.001,
+                     use_sigmoid=False, dtype=jnp.bfloat16,
+                     rays_per_tile=256, interpret=False):
+    """(N·kb, Cv) pair features + (N, Cr) ray features -> per-pair
+    (offset (N·kb,), prob_logit (N·kb,)), both f32. See module docstring."""
+    return _fused_fwd_impl(pair_vox, pos, ray_feat, weights, kb, multires,
+                           n_iter, init_offset, use_sigmoid, dtype,
+                           rays_per_tile, interpret)
+
+
+def _fused_fwd_impl(pair_vox, pos, ray_feat, weights, kb, multires, n_iter,
+                    init_offset, use_sigmoid, dtype, rays_per_tile, interpret):
+    n_rows, c_vox = pair_vox.shape
+    n_rays, c_ray = ray_feat.shape
+    assert n_rows == n_rays * kb, (n_rows, n_rays, kb)
+    c_pos = 6 * (1 + 2 * multires)
+    w = _prep_weights(weights, c_vox, c_ray - 27, c_pos, 27, dtype)
+
+    t = rays_per_tile
+    pad_rays = (-n_rays) % t
+    if pad_rays:
+        ray_feat = jnp.pad(ray_feat, ((0, pad_rays), (0, 0)))
+        pair_vox = jnp.pad(pair_vox, ((0, pad_rays * kb), (0, 0)))
+        pos = jnp.pad(pos, ((0, pad_rays * kb), (0, 0)))
+    n_tiles = (n_rays + pad_rays) // t
+    rows_t = t * kb
+
+    wkeys = sorted(w)
+    warrs = [jnp.atleast_2d(w[k]) for k in wkeys]
+
+    def kernel(vox_ref, pos_ref, ray_ref, *rest):
+        wrefs, (off_ref, logit_ref) = rest[:-2], rest[-2:]
+        wd = {k: (r[0] if w[k].ndim == 1 else r[:])
+              for k, r in zip(wkeys, wrefs)}
+        ray_rows = ray_ref[:]
+        dot = lambda a, b: jax.lax.dot_general(
+            a.astype(dtype), b.astype(dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ray_e1_off = dot(ray_rows, wd["offr_w1"])
+        ray_e1_prob = dot(ray_rows, wd["probr_w1"])
+        pe = _posenc_pair(pos_ref[:], multires, dtype)
+        off, logit = _decode_rows(vox_ref[:].astype(dtype), pe, ray_e1_off,
+                                  ray_e1_prob, wd, kb, n_iter=n_iter,
+                                  init_offset=init_offset,
+                                  use_sigmoid=use_sigmoid, dtype=dtype)
+        off_ref[:] = off[:, None]
+        logit_ref[:] = logit[:, None]
+
+    w_specs = [pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+               for a in warrs]
+    out_spec = pl.BlockSpec((rows_t, 1), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    g4 = weights["off_w1"].shape[1]
+    flops = 2 * (n_rays + pad_rays) * (
+        kb * ((c_vox + c_pos) * g4 * 2
+              + (n_iter + 1) * (g4 * g4 // 2 + (g4 // 2) * (g4 // 4) + g4 // 4))
+        + c_ray * g4 * 2)
+
+    off, logit = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec((rows_t, c_vox), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((rows_t, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((t, c_ray), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  *w_specs],
+        out_specs=(out_spec, out_spec),
+        out_shape=(jax.ShapeDtypeStruct(((n_rays + pad_rays) * kb, 1),
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct(((n_rays + pad_rays) * kb, 1),
+                                        jnp.float32)),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(n_rays + pad_rays) * kb * (c_vox * 2 + 32),
+            transcendentals=(n_rays + pad_rays) * kb * 12 * multires),
+        interpret=interpret,
+    )(pair_vox, pos, ray_feat, *warrs)
+    return off[:n_rows, 0], logit[:n_rows, 0]
+
+
+def _fused_fwd(pair_vox, pos, ray_feat, weights, kb, multires, n_iter,
+               init_offset, use_sigmoid, dtype, rays_per_tile, interpret):
+    out = _fused_fwd_impl(pair_vox, pos, ray_feat, weights, kb, multires,
+                          n_iter, init_offset, use_sigmoid, dtype,
+                          rays_per_tile, interpret)
+    return out, (pair_vox, pos, ray_feat, weights)
+
+
+def _fused_bwd(kb, multires, n_iter, init_offset, use_sigmoid, dtype,
+               rays_per_tile, interpret, res, g):
+    """Backward: exact grads by re-running the identical-math XLA path under
+    jax.vjp (recompute ≙ rematerialization — nothing saved from the kernel)."""
+    pair_vox, pos, ray_feat, weights = res
+    _, vjp = jax.vjp(
+        lambda pv, rf, ws: xla_ray_decode(
+            pv, pos, rf, ws, kb=kb, multires=multires, n_iter=n_iter,
+            init_offset=init_offset, use_sigmoid=use_sigmoid, dtype=dtype),
+        pair_vox, ray_feat, weights)
+    d_pv, d_rf, d_w = vjp(g)
+    # pos has no parameter ancestry (geometry from prepare_inputs; the
+    # reference's CUDA kernels are likewise non-differentiable) — zero grad
+    return d_pv, jnp.zeros_like(pos), d_rf, d_w
+
+
+fused_ray_decode.defvjp(_fused_fwd, _fused_bwd)

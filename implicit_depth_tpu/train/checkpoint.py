@@ -40,6 +40,13 @@ class Checkpointer:
             self._write(os.path.join(self.ckpt_dir, EPOCH_FMT.format(epoch)),
                         tree, meta)
 
+    def save_as(self, state: Any, epoch: int, name: str,
+                meta: Optional[Dict] = None) -> None:
+        """Write the state under an explicit name (e.g. ``best_network`` when
+        the tracked validation error improves, ≙ train_lidf.py:317-371)."""
+        self._write(os.path.join(self.ckpt_dir, name),
+                    {"state": _strip_static(state)}, dict(meta or {}, epoch=epoch))
+
     def _write(self, path: str, tree: Any, meta: Dict) -> None:
         # orbax writes to its own tmp dir and renames atomically; meta (free-
         # form dict: epoch, best metrics) goes in a JSON sidecar
@@ -51,10 +58,34 @@ class Checkpointer:
 
     # -- restore ------------------------------------------------------------
     def restore(self, state_template: Any, name: str = LATEST) -> Tuple[Any, Dict]:
+        """Strict restore when the checkpoint matches the template exactly;
+        otherwise fall back to the shape-tolerant merge (≙ the reference's
+        ``restore``, utils/training_utils.py:27-63): params/batch_stats leaves
+        that match in shape are taken, everything else (including a
+        structurally incompatible optimizer state) keeps the template's
+        freshly initialized value."""
         path = os.path.join(self.ckpt_dir, name)
         target = {"state": _strip_static(state_template)}
-        loaded = self._ckptr.restore(path, target)
-        state = _merge_static(state_template, loaded["state"])
+        try:
+            loaded = self._ckptr.restore(path, target)
+            state = _merge_static(state_template, loaded["state"])
+        except Exception as e:  # shape/structure mismatch -> tolerant path
+            print(f"ckpt restore: strict load failed ({type(e).__name__}), "
+                  "falling back to shape-tolerant merge")
+            raw = self._ckptr.restore(path)["state"]
+            tmpl = _strip_static(state_template)
+            merged = {
+                "step": raw.get("step", tmpl["step"]),
+                "params": merge_compatible(tmpl["params"],
+                                           raw.get("params", {}), "params"),
+                "batch_stats": merge_compatible(tmpl["batch_stats"],
+                                                raw.get("batch_stats", {}),
+                                                "batch_stats"),
+                # optimizer state only survives if its tree structure matches
+                "opt_state": _opt_state_or_template(tmpl["opt_state"],
+                                                    raw.get("opt_state")),
+            }
+            state = _merge_static(state_template, merged)
         import json
         meta = {}
         if os.path.exists(path + ".meta.json"):
@@ -98,6 +129,22 @@ def _merge_static(template: Any, loaded: Any) -> Any:
     return loaded
 
 
+def _opt_state_or_template(template_opt: Any, raw_opt: Any) -> Any:
+    """Take a raw-restored optimizer state only when its pytree structure
+    matches the template's (orbax serializes optax tuples as nested
+    lists/dicts, so run the comparison on leaf counts + shapes)."""
+    if raw_opt is None:
+        return template_opt
+    t_leaves = jax.tree.leaves(template_opt)
+    r_leaves = jax.tree.leaves(raw_opt)
+    if len(t_leaves) != len(r_leaves) or any(
+            np.shape(t) != np.shape(r) for t, r in zip(t_leaves, r_leaves)):
+        print("ckpt restore: optimizer state incompatible, reinitialized")
+        return template_opt
+    flat, treedef = jax.tree.flatten(template_opt)
+    return jax.tree.unflatten(treedef, r_leaves)
+
+
 def merge_compatible(target: Any, loaded: Any, path: str = "") -> Any:
     """Shape-tolerant merge ≙ the reference's ``restore``
     (utils/training_utils.py:27-63): take ``loaded`` leaves whose shape and
@@ -106,6 +153,14 @@ def merge_compatible(target: Any, loaded: Any, path: str = "") -> Any:
     """
     import jax.numpy as jnp
 
+    if isinstance(target, (list, tuple)):
+        if (not isinstance(loaded, (list, tuple))
+                or len(loaded) != len(target)):
+            print(f"ckpt merge: sequence mismatch at {path!r}, keeping target")
+            return target
+        merged = [merge_compatible(t, l, f"{path}[{i}]")
+                  for i, (t, l) in enumerate(zip(target, loaded))]
+        return type(target)(merged) if isinstance(target, tuple) else merged
     if isinstance(target, dict):
         if not isinstance(loaded, dict):
             print(f"ckpt merge: subtree mismatch at {path!r}, keeping target")
@@ -134,9 +189,16 @@ def merge_compatible(target: Any, loaded: Any, path: str = "") -> Any:
 def restore_params_only(ckpt_dir: str, params_template: Any,
                         name: str = LATEST) -> Tuple[Any, Any]:
     """Load just (params, batch_stats) — e.g. the frozen stage-1 LIDF inside
-    stage-2 training (train_refine.py:60-73). Restores the raw saved tree
-    (no target) so the caller needs no optimizer-state template."""
+    stage-2 training (train_refine.py:60-73). Restores the raw saved tree (no
+    target, so no optimizer-state template needed) and merges it into
+    ``params_template`` shape-tolerantly (≙ utils/training_utils.py:27-63):
+    mismatched or missing leaves keep the template's init values."""
     ckptr = ocp.StandardCheckpointer()
     path = os.path.join(os.path.abspath(ckpt_dir), name)
     loaded = ckptr.restore(path)
-    return loaded["state"]["params"], loaded["state"]["batch_stats"]
+    params = merge_compatible(params_template["params"],
+                              loaded["state"].get("params", {}), "params")
+    batch_stats = merge_compatible(params_template.get("batch_stats", {}),
+                                   loaded["state"].get("batch_stats", {}),
+                                   "batch_stats")
+    return params, batch_stats

@@ -68,13 +68,15 @@ class BaseTrainer:
     def __init__(self, cfg: Config, workdir: Optional[str] = None):
         self.cfg = cfg
         self.is_main = jax.process_index() == 0
-        # the data axis must divide the per-host batch; fall back to the
-        # largest divisor when they are mismatched (small smoke configs)
+        # (data × rays) mesh over ALL devices: batch shards the data axis
+        # (largest divisor of the per-host batch), remaining chips split the
+        # ray dimension — no chip idles when batch < device count
         import math
         n_dev = len(jax.devices())
         per_host_batch = max(cfg.training.batch_size // jax.process_count(), 1)
         n_data = math.gcd(per_host_batch, n_dev)
-        self.mesh = make_mesh((n_data,), devices=jax.devices()[:n_data])
+        self.mesh = make_mesh((n_data, n_dev // n_data), ("data", "rays"))
+        self.ray_sharded = self.mesh.shape["rays"] > 1
         self.key = jax.random.key(cfg.seed or 0)
 
         self.log_name = cfg.log_name or auto_log_name(cfg, self.stage)
@@ -90,6 +92,42 @@ class BaseTrainer:
         self.meters = MeterBank()
         self.epoch_log_path = osp.join(self.workdir, "epoch_log.jsonl")
         self.valid_log_path = osp.join(self.workdir, "valid_log.txt")
+        # best-metric scalars tracked across epochs AND resumes
+        # (≙ train_lidf.py:85-112 min_err/max_acc/min_angle_err + :317-322)
+        self.best = {"min_err": 1e5, "max_acc": -1.0, "min_angle_err": 1e5}
+
+    def _update_best(self, record: Dict) -> bool:
+        """Fold this epoch's metrics into the best scalars; returns True when
+        the position error improved (triggers the best_network snapshot)."""
+        src = record.get("valid") or {}
+        if src:  # average the per-split validation means
+            splits = list(src.values())
+            agg = {k: float(np.mean([s[k] for s in splits if k in s]))
+                   for k in splits[0]}
+        else:
+            agg = record.get("train", {})
+        improved = False
+        if "err" in agg and agg["err"] < self.best["min_err"]:
+            self.best["min_err"] = agg["err"]
+            improved = True
+        if "acc" in agg and agg["acc"] > self.best["max_acc"]:
+            self.best["max_acc"] = agg["acc"]
+        if "angle_err" in agg and agg["angle_err"] < self.best["min_angle_err"]:
+            self.best["min_angle_err"] = agg["angle_err"]
+        return improved
+
+    def _save_epoch(self, epoch: int, record: Dict) -> None:
+        """Checkpoint + JSONL log for one epoch: latest every epoch, periodic
+        snapshots, and a ``best_network`` copy when the tracked error improved
+        (≙ train_lidf.py:317-371)."""
+        improved = self._update_best(record)
+        if self.is_main:
+            meta = dict(self.best)
+            self.ckpt.save(self.state, epoch, meta=meta,
+                           snapshot=(epoch % self.cfg.training.nepoch_ckpt == 0))
+            if improved:
+                self.ckpt.save_as(self.state, epoch, "best_network", meta=meta)
+        self.log_epoch(epoch, {**record, "best": dict(self.best)})
 
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
@@ -152,7 +190,8 @@ class LIDFTrainer(BaseTrainer):
         if cfg.resume and self.ckpt.latest_exists():
             self.state, meta = self.ckpt.restore(self.state)
             self.start_epoch = int(meta.get("epoch", -1)) + 1
-            print(f"resumed from epoch {self.start_epoch - 1}")
+            self.best.update({k: meta[k] for k in self.best if k in meta})
+            print(f"resumed from epoch {self.start_epoch - 1} (best {self.best})")
         elif cfg.checkpoint_path:
             # load initial weights from an external run (≙ train_lidf.py:73-92)
             params, bstats = restore_params_only(
@@ -161,8 +200,30 @@ class LIDFTrainer(BaseTrainer):
             self.state = self.state.replace(params=params, batch_stats=bstats)
             print(f"loaded weights from {cfg.checkpoint_path}")
 
-        self.train_step = make_lidf_train_step(cfg, self.model)
-        self.eval_step = make_lidf_eval_step(cfg, self.eval_model)
+        self.train_step = make_lidf_train_step(cfg, self.model, mesh=self.mesh)
+        # eval (batch 1): ALL chips split the per-pixel rays
+        self.eval_step = make_lidf_eval_step(cfg, self.eval_model,
+                                             ray_axis=("data", "rays"),
+                                             mesh=self.mesh)
+        self._vis_step = None  # train-shape vis forward, built on first use
+
+    def _train_vis(self, epoch: int, it: int, batch) -> None:
+        """Train-time visualization (≙ train_lidf.py:469-473): dump visuals
+        ``train_vis_iter`` times per epoch on the current training batch."""
+        vis_iter = self.cfg.training.get("train_vis_iter", 0)
+        if not (self.is_main and vis_iter):
+            return
+        period = max(self.steps_per_epoch // int(vis_iter), 1)
+        if it % period != 0:
+            return
+        if self._vis_step is None:
+            from implicit_depth_tpu.train.steps import make_lidf_vis_step
+            self._vis_step = make_lidf_vis_step(self.cfg, self.model)
+        inputs, pred = self._vis_step(self.state, batch, self._next_key())
+        from implicit_depth_tpu.train.visualize import dump_batch_visuals
+        dump_batch_visuals(self.vis_dir, f"train_ep{epoch}_it{it}",
+                           {k: np.asarray(v) for k, v in batch.items()},
+                           inputs, np.asarray(pred))
 
     def _init_state(self) -> TrainState:
         batch = next(iter(self.train_loader.epoch(0)))
@@ -193,6 +254,7 @@ class LIDFTrainer(BaseTrainer):
                                if k in ("loss_net", "pos_loss", "prob_loss", "acc", "err"))
                 print(f"[lidf] epoch {epoch} it {it}/{self.steps_per_epoch} {msg}",
                       flush=True)
+            self._train_vis(epoch, it, batch)
         means = self.meters.means()
         means["epoch_time_s"] = time.time() - t_start
         return means
@@ -209,7 +271,8 @@ class LIDFTrainer(BaseTrainer):
                 if max_batches and it >= max_batches:
                     break
                 batch.pop("item_path", None)
-                jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+                jbatch = replicate({k: jnp.asarray(v) for k, v in batch.items()},
+                                   self.mesh)
                 inputs, out, losses = self.eval_step(self.state, jbatch,
                                                      self._next_key())
                 bank.add({k: float(v) for k, v in losses.items()})
@@ -239,12 +302,19 @@ class LIDFTrainer(BaseTrainer):
         cfg = self.cfg
         h, w = cfg.dataset.img_height, cfg.dataset.img_width
         loaders = split_loaders or self.make_valid_loaders()
+        vis_iter = cfg.training.get("test_vis_iter", 0)
         for split, loader in loaders.items():
             rows = []
-            for batch in loader.epoch(0):
+            for it, batch in enumerate(loader.epoch(0)):
                 paths = batch.pop("item_path")
-                jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+                jbatch = replicate({k: jnp.asarray(v) for k, v in batch.items()},
+                                   self.mesh)
                 inputs, out, _ = self.eval_step(self.state, jbatch, self._next_key())
+                if self.is_main and vis_iter and it % vis_iter == 0:
+                    # ≙ test-time vis_cond2 (train_lidf.py:471-473)
+                    from implicit_depth_tpu.train.visualize import dump_batch_visuals
+                    dump_batch_visuals(self.vis_dir, f"test_{split}_it{it}",
+                                       batch, inputs, np.asarray(out["pred_pos"]))
                 pred_depth = depth_images_from_outputs(inputs, out["pred_pos"], h, w)
                 for i in range(pred_depth.shape[0]):
                     m = cleargrasp_metrics(pred_depth[i],
@@ -271,10 +341,7 @@ class LIDFTrainer(BaseTrainer):
             record = {"train": train_means}
             if cfg.training.do_valid and epoch >= cfg.training.valid_start_epo:
                 record["valid"] = self.validate(epoch)
-            if self.is_main:
-                self.ckpt.save(self.state, epoch,
-                               snapshot=(epoch % cfg.training.nepoch_ckpt == 0))
-            self.log_epoch(epoch, record)
+            self._save_epoch(epoch, record)
 
 
 class RefineTrainer(BaseTrainer):
@@ -322,6 +389,7 @@ class RefineTrainer(BaseTrainer):
         if cfg.resume and self.ckpt.latest_exists():
             self.state, meta = self.ckpt.restore(self.state)
             self.start_epoch = int(meta.get("epoch", -1)) + 1
+            self.best.update({k: meta[k] for k in self.best if k in meta})
         elif cfg.checkpoint_path:
             params, _ = restore_params_only(
                 cfg.checkpoint_path, {"params": self.state.params,
@@ -330,9 +398,32 @@ class RefineTrainer(BaseTrainer):
             print(f"loaded refine weights from {cfg.checkpoint_path}")
 
         self.train_step = make_refine_train_step(cfg, self.lidf_model,
-                                                 self.refine_model)
+                                                 self.refine_model,
+                                                 mesh=self.mesh)
         self.eval_step = make_refine_eval_step(cfg, self.eval_lidf,
-                                               self.eval_refine)
+                                               self.eval_refine,
+                                               ray_axis=("data", "rays"),
+                                               mesh=self.mesh)
+        self._vis_step = None
+
+    def _train_vis(self, epoch: int, it: int, batch) -> None:
+        """≙ train_refine.py:430-482 train-time visualization."""
+        vis_iter = self.cfg.training.get("train_vis_iter", 0)
+        if not (self.is_main and vis_iter):
+            return
+        period = max(self.steps_per_epoch // int(vis_iter), 1)
+        if it % period != 0:
+            return
+        if self._vis_step is None:
+            from implicit_depth_tpu.train.steps import make_refine_vis_step
+            self._vis_step = make_refine_vis_step(self.cfg, self.lidf_model,
+                                                  self.refine_model)
+        inputs, pred = self._vis_step(self.state, self.lidf_variables, batch,
+                                      self._next_key())
+        from implicit_depth_tpu.train.visualize import dump_batch_visuals
+        dump_batch_visuals(self.vis_dir, f"train_ep{epoch}_it{it}",
+                           {k: np.asarray(v) for k, v in batch.items()},
+                           inputs, np.asarray(pred))
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         cfg = self.cfg
@@ -353,6 +444,7 @@ class RefineTrainer(BaseTrainer):
                                if k in ("loss_net", "pos_loss", "err"))
                 print(f"[refine] epoch {epoch} it {it}/{self.steps_per_epoch} {msg}",
                       flush=True)
+            self._train_vis(epoch, it, batch)
         means = self.meters.means()
         means["epoch_time_s"] = time.time() - t_start
         return means
@@ -369,7 +461,8 @@ class RefineTrainer(BaseTrainer):
                 if max_batches and it >= max_batches:
                     break
                 batch.pop("item_path", None)
-                jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+                jbatch = replicate({k: jnp.asarray(v) for k, v in batch.items()},
+                                   self.mesh)
                 inputs, lidf_out, pred, losses = self.eval_step(
                     self.state, self.lidf_variables, jbatch, self._next_key())
                 bank.add({k: float(v) for k, v in losses.items()})
@@ -400,13 +493,19 @@ class RefineTrainer(BaseTrainer):
         h, w = cfg.dataset.img_height, cfg.dataset.img_width
         loaders = split_loaders or self.make_valid_loaders()
         import csv
+        vis_iter = cfg.training.get("test_vis_iter", 0)
         for split, loader in loaders.items():
             rows = []
-            for batch in loader.epoch(0):
+            for it, batch in enumerate(loader.epoch(0)):
                 paths = batch.pop("item_path")
-                jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+                jbatch = replicate({k: jnp.asarray(v) for k, v in batch.items()},
+                                   self.mesh)
                 inputs, _, pred, _ = self.eval_step(
                     self.state, self.lidf_variables, jbatch, self._next_key())
+                if self.is_main and vis_iter and it % vis_iter == 0:
+                    from implicit_depth_tpu.train.visualize import dump_batch_visuals
+                    dump_batch_visuals(self.vis_dir, f"test_{split}_it{it}",
+                                       batch, inputs, np.asarray(pred))
                 pred_depth = depth_images_from_outputs(inputs, pred, h, w)
                 for i in range(pred_depth.shape[0]):
                     m = cleargrasp_metrics(pred_depth[i],
@@ -433,10 +532,7 @@ class RefineTrainer(BaseTrainer):
             record = {"train": train_means}
             if cfg.training.do_valid and epoch >= cfg.training.valid_start_epo:
                 record["valid"] = self.validate(epoch)
-            if self.is_main:
-                self.ckpt.save(self.state, epoch,
-                               snapshot=(epoch % cfg.training.nepoch_ckpt == 0))
-            self.log_epoch(epoch, record)
+            self._save_epoch(epoch, record)
 
 
 TRAINERS = {"lidf": LIDFTrainer, "refine": RefineTrainer}

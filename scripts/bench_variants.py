@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""A/B decode variants on the real TPU (full stage-1 forward + train step).
+
+Run:
+  PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_variants.py \
+      [--variants per_ray_xla,per_ray_pallas,...] [--train]
+
+Timing method: in-graph fori-loop slope (utils/profiling.device_slope_time);
+block_until_ready is not a fence through this image's remote-TPU relay.
+"""
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from implicit_depth_tpu.builder import build_lidf, build_static
+from implicit_depth_tpu.config import load_config
+from implicit_depth_tpu.data.synthetic import synthetic_batch
+from implicit_depth_tpu.models.lidf import lidf_loss, prepare_inputs
+from implicit_depth_tpu.utils.profiling import device_slope_time
+
+H, W, BS = 240, 320, 4
+
+VARIANTS = {
+    # name: (pairs_budget, mode, use_pallas)
+    "global_xla": (8, "global", False),
+    "per_ray_xla": (8, "per_ray", False),
+    "per_ray_pallas": (8, "per_ray", True),
+    "per_ray4_pallas": (4, "per_ray", True),
+    "dense_xla": (0, "per_ray", False),
+}
+
+
+def build(budget, mode, pallas):
+    cfg = load_config(overrides={
+        "mask_type": "all",
+        "dataset": {"img_height": H, "img_width": W},
+        "tpu": {"compute_dtype": "bfloat16", "pairs_budget_per_ray": budget,
+                "pairs_budget_mode": mode, "use_pallas_decode": pallas},
+    })
+    static = build_static(cfg)
+    return cfg, static, build_lidf(cfg, static)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", default="per_ray_xla,per_ray_pallas")
+    ap.add_argument("--train", action="store_true",
+                    help="also time the train step (fwd+bwd+adam)")
+    args = ap.parse_args()
+
+    raw = synthetic_batch(0, BS, H, W)
+    batch = {k: jnp.asarray(v) for k, v in raw.items()}
+
+    for name in args.variants.split(","):
+        budget, mode, pallas = VARIANTS[name]
+        cfg, static, model = build(budget, mode, pallas)
+        prep = jax.jit(lambda b, kk: prepare_inputs(static, b, kk, train=True))
+        inputs = prep(batch, jax.random.key(0))
+        variables = jax.jit(lambda kk, i: model.init(
+            kk, i, train=False, use_gt_label=False))(jax.random.key(1), inputs)
+
+        def fwd(kk, v, b):
+            out = model.apply(v, prepare_inputs(static, b, kk, train=True),
+                              train=False, use_gt_label=False)
+            return jnp.abs(out["pred_pos"]).sum()
+
+        dt = device_slope_time(fwd, jax.random.key(2), variables, batch)
+        rps = BS * static.n_rays / dt
+        print(json.dumps({"variant": name, "fwd_ms": round(dt * 1e3, 2),
+                          "rays_per_sec": round(rps, 1)}), flush=True)
+
+        if args.train:
+            from implicit_depth_tpu.train.state import TrainState, make_tx
+            tx = make_tx(cfg.training, 100)
+            state = TrainState.create(variables["params"],
+                                      variables["batch_stats"], tx)
+
+            def tstep(kk, st, b):
+                inp = prepare_inputs(static, b, kk, train=True)
+
+                def loss_fn(params):
+                    out, mut = model.apply(
+                        {"params": params, "batch_stats": st.batch_stats},
+                        inp, train=True, use_gt_label=False,
+                        mutable=["batch_stats"])
+                    return lidf_loss(inp, out, train=True,
+                                     img_hw=(H, W))["loss_net"], mut
+
+                (l, mut), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    st.params)
+                st2 = st.apply_gradients(grads,
+                                         new_batch_stats=mut["batch_stats"])
+                return l + jax.tree.leaves(st2.params)[0].astype(jnp.float32).sum() * 0
+
+            dt = device_slope_time(tstep, jax.random.key(3), state, batch)
+            print(json.dumps({"variant": name + "+train",
+                              "step_ms": round(dt * 1e3, 2),
+                              "rays_per_sec": round(BS * static.n_rays / dt, 1)}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,3 +1,4 @@
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -34,6 +35,48 @@ def test_save_restore_roundtrip(tmp_path):
                                           "batch_stats": state.batch_stats})
     np.testing.assert_allclose(np.asarray(params["a"]), 2.5)
     np.testing.assert_allclose(np.asarray(bstats["bn"]), 1.0)
+
+
+def test_restore_params_only_tolerates_reshaped_ckpt(tmp_path):
+    """A checkpoint whose leaf shapes drifted partial-loads: matching leaves
+    are taken, mismatched ones keep the template (≙ reference restore,
+    utils/training_utils.py:27-63)."""
+    ck = Checkpointer(str(tmp_path))
+    ck.save(_state(), epoch=0)
+
+    template = {"params": {"a": jnp.full((3, 4), 7.0),      # matches -> taken
+                           "b": {"w": jnp.full((9,), 7.0)},  # reshaped -> kept
+                           "extra": jnp.full((2, 2), 7.0)},  # missing -> kept
+                "batch_stats": {"bn": jnp.zeros((4,))}}
+    params, bstats = restore_params_only(str(tmp_path), template)
+    np.testing.assert_allclose(np.asarray(params["a"]), 1.0)
+    np.testing.assert_allclose(np.asarray(params["b"]["w"]), 7.0)
+    np.testing.assert_allclose(np.asarray(params["extra"]), 7.0)
+    np.testing.assert_allclose(np.asarray(bstats["bn"]), 1.0)
+
+
+def test_restore_falls_back_to_tolerant_merge(tmp_path):
+    """Checkpointer.restore of a structurally drifted state must not crash:
+    strict orbax load fails, the tolerant path merges what it can and
+    reinitializes the optimizer state."""
+    ck = Checkpointer(str(tmp_path))
+    ck.save(_state(), epoch=2)
+
+    # template with a reshaped leaf and a new param -> strict restore fails
+    params = {"a": jnp.full((3, 4), 5.0), "b": {"w": jnp.full((6,), 5.0)},
+              "new": jnp.full((2,), 5.0)}
+    tx = make_tx(default_config().training, 10)
+    template = TrainState.create(params, {"bn": jnp.zeros((4,))}, tx)
+
+    restored, meta = ck.restore(template)
+    assert meta["epoch"] == 2
+    np.testing.assert_allclose(np.asarray(restored.params["a"]), 1.0)   # taken
+    np.testing.assert_allclose(np.asarray(restored.params["b"]["w"]), 5.0)  # kept
+    np.testing.assert_allclose(np.asarray(restored.params["new"]), 5.0)     # kept
+    np.testing.assert_allclose(np.asarray(restored.batch_stats["bn"]), 1.0)
+    # optimizer state was reinitialized for the new param tree
+    assert len(jax.tree.leaves(restored.opt_state)) == len(
+        jax.tree.leaves(tx.init(params)))
 
 
 def test_merge_compatible_tolerates_mismatches():

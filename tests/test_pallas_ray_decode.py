@@ -1,0 +1,135 @@
+"""Ray-major fused decode: kernel ≡ XLA oracle ≡ the original pair decode."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from implicit_depth_tpu.ops.pallas_decode import xla_pair_decode
+from implicit_depth_tpu.ops.pallas_ray_decode import (
+    fused_ray_decode,
+    xla_ray_decode,
+)
+
+N_RAYS, KB, CV, GF4 = 96, 8, 32, 64
+
+
+def _weights(rng, c_embed):
+    dims = [(c_embed + 16, GF4), (GF4, GF4 // 2), (GF4 // 2, GF4 // 4),
+            (GF4 // 4, 1)]
+    w = {"off_enc_w": rng.normal(size=(1, 16)).astype(np.float32),
+         "off_enc_b": rng.normal(size=(16,)).astype(np.float32)}
+    for i, (a, b) in enumerate(dims, 1):
+        w[f"off_w{i}"] = (rng.normal(size=(a, b)) * 0.2).astype(np.float32)
+        w[f"off_b{i}"] = (rng.normal(size=(b,)) * 0.1).astype(np.float32)
+        ap = a if i > 1 else c_embed
+        w[f"prob_w{i}"] = (rng.normal(size=(ap, b)) * 0.2).astype(np.float32)
+        w[f"prob_b{i}"] = (rng.normal(size=(b,)) * 0.1).astype(np.float32)
+    return {k: jnp.asarray(v) for k, v in w.items()}
+
+
+@pytest.fixture(scope="module")
+def data(rng_module=None):
+    rng = np.random.default_rng(11)
+    c_embed = CV + 128 + 102 + 27
+    pair_vox = rng.normal(size=(N_RAYS * KB, CV)).astype(np.float32)
+    pos = (rng.normal(size=(N_RAYS * KB, 8)) * 0.5).astype(np.float32)
+    pos[:, 6:] = 0.0
+    ray_feat = rng.normal(size=(N_RAYS, 128 + 27)).astype(np.float32)
+    return (jnp.asarray(pair_vox), jnp.asarray(pos), jnp.asarray(ray_feat),
+            _weights(rng, c_embed))
+
+
+def test_xla_ray_decode_matches_pair_decode(data):
+    """The split-layer-1 ray-major math is a reassociation of the original
+    flat (P, 385) decode: same offsets/logits."""
+    pair_vox, pos, ray_feat, w = data
+    roi = jnp.repeat(ray_feat[:, :128], KB, axis=0)
+    dir_e = jnp.repeat(ray_feat[:, 128:], KB, axis=0)
+    want_off, want_logit = xla_pair_decode(
+        pair_vox, roi, pos[:, 0:3], pos[:, 3:6], dir_e, w,
+        multires=8, n_iter=2, dtype=jnp.float32)
+    got_off, got_logit = xla_ray_decode(
+        pair_vox, pos, ray_feat, w, kb=KB, multires=8, n_iter=2,
+        dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got_off), np.asarray(want_off),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_logit), np.asarray(want_logit),
+                               atol=2e-5)
+
+
+def test_kernel_matches_xla_oracle(data):
+    pair_vox, pos, ray_feat, w = data
+    want = xla_ray_decode(pair_vox, pos, ray_feat, w, kb=KB,
+                          dtype=jnp.float32)
+    got = fused_ray_decode(pair_vox, pos, ray_feat, w, KB, 8, 2, 0.001,
+                           False, jnp.float32, 32, True)  # interpret mode
+    for g, t in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(t), atol=2e-5)
+
+
+def test_kernel_pads_ragged_tiles(data):
+    pair_vox, pos, ray_feat, w = data
+    n = 70 * KB  # 70 rays, not a multiple of the 32-ray tile
+    want = xla_ray_decode(pair_vox[:n], pos[:n], ray_feat[:70], w, kb=KB,
+                          dtype=jnp.float32)
+    got = fused_ray_decode(pair_vox[:n], pos[:n], ray_feat[:70], w, KB, 8, 2,
+                           0.001, False, jnp.float32, 32, True)
+    for g, t in zip(got, want):
+        assert g.shape == t.shape
+        np.testing.assert_allclose(np.asarray(g), np.asarray(t), atol=2e-5)
+
+
+def test_model_ray_major_kernel_matches_dense():
+    """LIDFModel with use_pallas_decode + per_ray budget must reproduce the
+    plain dense decode on the kept slots (interpret mode on CPU)."""
+    from implicit_depth_tpu.data.synthetic import synthetic_batch
+    from implicit_depth_tpu.geometry.voxel import make_voxel_grid
+    from implicit_depth_tpu.models.lidf import LIDFModel, LIDFStatic, prepare_inputs
+
+    H, W = 48, 64
+    static = LIDFStatic(grid=make_voxel_grid(8), n_valid=512, n_rays=256,
+                        k_pairs=8)
+    mk = lambda pallas: LIDFModel(
+        static=static, rgb_out=8, pnet_out=16, pnet_gf=8, imnet_gf=8,
+        resnet_stages=(1, 1, 1, 1), pairs_budget=4,
+        pairs_budget_mode="per_ray", use_pallas_decode=pallas)
+    plain, fused = mk(False), mk(True)
+
+    raw = synthetic_batch(3, 2, H, W)
+    batch = {k: jnp.asarray(v) for k, v in raw.items()}
+    inp = jax.jit(lambda b, k: prepare_inputs(static, b, k, train=True))(
+        batch, jax.random.key(0))
+    variables = jax.jit(lambda k, i: plain.init(
+        k, i, train=False, use_gt_label=True))(jax.random.key(1), inp)
+    out_a = jax.jit(lambda v, i: plain.apply(v, i, train=False,
+                                             use_gt_label=True))(variables, inp)
+    out_b = jax.jit(lambda v, i: fused.apply(v, i, train=False,
+                                             use_gt_label=True))(variables, inp)
+    kept = np.asarray(out_a["pair_valid"])
+    np.testing.assert_allclose(np.asarray(out_b["prob_logit"])[kept],
+                               np.asarray(out_a["prob_logit"])[kept],
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_b["pred_pos"]),
+                               np.asarray(out_a["pred_pos"]), atol=2e-5)
+
+
+def test_custom_vjp_grads_match_xla(data):
+    """Backward (XLA recompute) must equal differentiating the oracle."""
+    pair_vox, pos, ray_feat, w = data
+
+    def loss_kernel(pv, rf, ws):
+        off, logit = fused_ray_decode(pv, pos, rf, ws, KB, 8, 2, 0.001,
+                                      False, jnp.float32, 32, True)
+        return jnp.sum(off * 1.3 + logit * 0.7)
+
+    def loss_xla(pv, rf, ws):
+        off, logit = xla_ray_decode(pv, pos, rf, ws, kb=KB,
+                                    dtype=jnp.float32)
+        return jnp.sum(off * 1.3 + logit * 0.7)
+
+    g_k = jax.grad(loss_kernel, argnums=(0, 1, 2))(pair_vox, ray_feat, w)
+    g_x = jax.grad(loss_xla, argnums=(0, 1, 2))(pair_vox, ray_feat, w)
+    for a, b in zip(jax.tree.leaves(g_k), jax.tree.leaves(g_x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

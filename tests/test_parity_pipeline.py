@@ -1,0 +1,232 @@
+"""Full-forward parity: our composed static-shape pipeline vs the numpy
+oracle port of the reference ``LIDF.forward`` (tests/oracle_lidf.py).
+
+Catches drift the per-module parity tests cannot: embedding concat order,
+√3·part_size offset scaling, per-ray softmax/argmax semantics, dummy-row
+handling, and masked loss reductions — all with one shared weight set
+(ours, inverse-transplanted to the reference layout).
+
+Scene constraints that make the comparison exact (documented divergences):
+  * miss rays restricted to interior pixels (our roi_window_pool shifts
+    border windows inside instead of torchvision's shrunken boxes);
+  * pairs_budget=0 and k_pairs high enough that no pair is dropped;
+  * principal point jittered off the pixel lattice: with cx=W/2-0.5 the
+    synthetic cameras make exactly-diagonal rays that touch voxel CORNERS;
+    the reference slab test reports those as zero-length-chord intersections
+    (t_enter == t_exit exactly) while our DDA traversal excludes them — a
+    deliberate divergence on a measure-zero set that real-camera float
+    intrinsics never hit.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from implicit_depth_tpu.builder import build_lidf, build_static
+from implicit_depth_tpu.config import load_config
+from implicit_depth_tpu.data.synthetic import synthetic_sample
+from implicit_depth_tpu.models.lidf import lidf_loss, prepare_inputs
+from implicit_depth_tpu.utils.torch_import import roi_row_permutation
+
+from oracle_lidf import lidf_forward_oracle
+
+B, H, W = 2, 48, 64
+N_RAYS, N_VALID, K = 192, 512, 32
+PNET_OUT, RGB_OUT, GF = 16, 8, 16
+
+
+def _cfg():
+    return load_config(overrides={
+        "dataset": {"img_width": W, "img_height": H},
+        "model": {"rgb_out": RGB_OUT, "pnet_out": PNET_OUT, "pnet_gf": 8,
+                  "imnet_gf": GF},
+        "grid": {"miss_sample_num": N_RAYS, "valid_sample_num": N_VALID},
+        "tpu": {"max_pairs_per_ray": K, "pairs_budget_per_ray": 0,
+                "compute_dtype": "float32"},
+    })
+
+
+def _interior_batch():
+    rng = np.random.default_rng(7)
+    samples = [synthetic_sample(rng, H, W) for _ in range(B)]
+    batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]
+             if k != "item_path"}
+    # interior-only miss rays (see module docstring); add a fixed interior
+    # rectangle so every image has >= N_RAYS corrupt pixels (all slots live)
+    border = np.zeros((H, W), np.float32)
+    border[8:-8, 8:-8] = 1.0
+    blob = np.zeros((H, W), np.float32)
+    blob[14:34, 18:38] = 1.0
+    batch["corrupt_mask"] = np.clip(batch["corrupt_mask"] + blob, 0, 1) * border
+    batch["valid_mask"] = batch["valid_mask"] * (1 - batch["corrupt_mask"])
+    # keep rays off exact voxel-corner diagonals (see module docstring)
+    batch["cx"] = batch["cx"] + 0.0137
+    batch["cy"] = batch["cy"] + 0.0071
+    return {k: v.astype(np.float32) for k, v in batch.items()}
+
+
+def _ref_weights(params):
+    """Inverse transplant: our flax tree -> reference torch state-dict layout
+    (incl. the channel-major ROI row order for decoder layer 1)."""
+    inv = lambda d: np.asarray(d["kernel"]).T
+    pnet = {}
+    for i, name in enumerate(["point_lin1", "point_lin2", "vox_lin1",
+                              "point_lin3", "point_lin4", "vox_lin2"]):
+        d = params["pnet"][f"Dense_{i}"]
+        pnet[name + ".weight"] = inv(d)
+        pnet[name + ".bias"] = np.asarray(d["bias"])
+
+    def mlp4(p):
+        out = {}
+        perm = roi_row_permutation(PNET_OUT, RGB_OUT, 4)
+        for i in range(4):
+            d = p["_MLP4_0"][f"Dense_{i}"]
+            kern = np.array(np.asarray(d["kernel"]))      # (in, out), ours
+            if i == 0:
+                ref_k = np.array(kern)
+                ref_k[perm] = kern[PNET_OUT:PNET_OUT + RGB_OUT * 4]
+                kern = ref_k
+            out[f"linear_{i + 1}.weight"] = kern.T
+            out[f"linear_{i + 1}.bias"] = np.asarray(d["bias"])
+        return out
+
+    off = mlp4(params["offset_dec"])
+    off["offset_enc.weight"] = inv(params["offset_dec"]["Dense_0"])
+    off["offset_enc.bias"] = np.asarray(params["offset_dec"]["Dense_0"]["bias"])
+    return {"pnet": pnet, "offset_dec": off, "prob_dec": mlp4(params["prob_dec"])}
+
+
+@pytest.fixture(scope="module")
+def parity():
+    cfg = _cfg()
+    static = build_static(cfg)
+    model = build_lidf(cfg, static)
+    batch_np = _interior_batch()
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+
+    key = jax.random.key(3)
+    inputs = jax.jit(lambda b, k: prepare_inputs(static, b, k, train=True))(
+        batch, key)
+    variables = jax.jit(lambda k, i: model.init(
+        k, i, train=False, use_gt_label=False))(jax.random.key(1), inputs)
+    # the reference's last-layer init (mean 1e-5) makes every pair logit
+    # nearly identical -> per-ray softmax ties everywhere; widen the decoder
+    # output layers so the argmax comparison is meaningful
+    p = jax.device_get(variables["params"])
+    prng = np.random.default_rng(5)
+    for dec in ("offset_dec", "prob_dec"):
+        for i in range(4):
+            d = p[dec]["_MLP4_0"][f"Dense_{i}"]
+            fan_in = np.shape(d["kernel"])[0]
+            d["kernel"] = prng.normal(0, 1.5 / np.sqrt(fan_in),
+                                      np.shape(d["kernel"])).astype(np.float32)
+            d["bias"] = prng.normal(0, 0.1, np.shape(d["bias"])).astype(np.float32)
+    variables = {"params": p, "batch_stats": jax.device_get(variables["batch_stats"])}
+    out = jax.jit(lambda v, i: model.apply(
+        v, i, train=False, use_gt_label=False))(variables, inputs)
+    losses = jax.jit(lambda i, o: lidf_loss(
+        i, o, train=True, img_hw=(H, W), surf_norm_on=True, smooth_on=True))(
+        inputs, out)
+    inputs = jax.device_get(inputs)
+    out = jax.device_get(out)
+    losses = jax.device_get(losses)
+
+    assert inputs["miss_slot"].all() and inputs["valid_slot"].all()
+
+    vbid = np.repeat(np.arange(B), N_VALID)
+    valid_idx = np.stack([vbid, np.asarray(inputs["valid_idx"]).reshape(-1)], 1)
+    mbid = np.repeat(np.arange(B), N_RAYS)
+    miss_idx = np.stack([mbid, np.asarray(inputs["miss_idx"]).reshape(-1)], 1)
+
+    oracle = lidf_forward_oracle(
+        batch_np, valid_idx, miss_idx,
+        np.asarray(out["feat_map"], np.float32),
+        _ref_weights(jax.device_get(variables["params"])),
+        use_gt_label=False, train=True)
+    return static, inputs, out, losses, oracle
+
+
+def test_occupancy_matches(parity):
+    static, inputs, out, _, oracle = parity
+    grid = static.grid
+    ours = set()
+    occ = np.asarray(inputs["occupancy"])
+    for b in range(B):
+        for cell in np.nonzero(occ[b])[0]:
+            ours.add((b, int(cell)))
+    theirs = set()
+    gx, gy, gz = grid.dims
+    for bid, (ix, iy, iz) in zip(oracle["occ_bid"], oracle["occ_coord"]):
+        theirs.add((int(bid), int((ix * gy + iy) * gz + iz)))
+    assert ours == theirs
+
+
+def test_pairs_and_dists_match(parity):
+    static, inputs, out, _, oracle = parity
+    grid = static.grid
+    gx, gy, gz = grid.dims
+    occ_lin = (oracle["occ_coord"][:, 0] * gy
+               + oracle["occ_coord"][:, 1]) * gz + oracle["occ_coord"][:, 2]
+
+    # oracle pairs grouped per ray
+    ref_pairs = {}
+    for p, (vi, ri) in enumerate(zip(oracle["vox_i"], oracle["ray_i"])):
+        ref_pairs.setdefault(int(ri), {})[int(occ_lin[vi])] = (
+            float(oracle["t_enter"][p]), float(oracle["t_exit"][p]),
+            float(oracle["prob_logit"][p]), float(oracle["pcl_label"][p]))
+
+    pv = np.asarray(inputs["pair_valid"])
+    pc = np.asarray(inputs["pair_cell"])
+    te = np.asarray(inputs["t_enter"])
+    tx = np.asarray(inputs["t_exit"])
+    pl = np.asarray(inputs["pair_label"])
+    logit = np.asarray(out["prob_logit"])
+    n_checked = 0
+    for b in range(B):
+        for r in range(N_RAYS):
+            flat = b * N_RAYS + r
+            ref = ref_pairs.get(flat, {})
+            ours = {int(pc[b, r, k]): (float(te[b, r, k]), float(tx[b, r, k]),
+                                       float(logit[b, r, k]), float(pl[b, r, k]))
+                    for k in range(K) if pv[b, r, k]}
+            assert set(ours) == set(ref), (b, r)
+            for cell, (e1, x1, l1, g1) in ours.items():
+                e2, x2, l2, g2 = ref[cell]
+                np.testing.assert_allclose([e1, x1], [e2, x2], atol=2e-4)
+                np.testing.assert_allclose(l1, l2, atol=2e-4)
+                assert g1 == g2, (b, r, cell)
+                n_checked += 1
+    assert n_checked > 300  # the scene really exercised the pipeline
+
+
+def test_pred_pos_matches(parity):
+    _, inputs, out, _, oracle = parity
+    ours = np.asarray(out["pred_pos"]).reshape(B * N_RAYS, 3)
+    # rays whose top-2 softmax probs are within float noise can legitimately
+    # argmax-flip between implementations; exclude them (must stay rare)
+    margin = np.full(B * N_RAYS, np.inf, np.float32)
+    per_ray: dict = {}
+    for p, ri in enumerate(oracle["ray_i"]):
+        per_ray.setdefault(int(ri), []).append(oracle["prob_softmax"][p])
+    for ri, probs in per_ray.items():
+        if len(probs) >= 2:
+            top2 = np.sort(probs)[-2:]
+            margin[ri] = top2[1] - top2[0]
+    clear = margin > 1e-5
+    assert (~clear).sum() <= max(B * N_RAYS // 100, 2)
+    np.testing.assert_allclose(ours[clear], oracle["pred_pos"][clear], atol=2e-4)
+
+
+def test_losses_match(parity):
+    _, _, _, losses, oracle = parity
+    np.testing.assert_allclose(float(losses["pos_loss"]),
+                               oracle["pos_loss"], rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(float(losses["prob_loss"]),
+                               oracle["prob_loss"], rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(float(losses["surf_norm_loss"]),
+                               oracle["surf_norm_loss"], rtol=2e-3, atol=1e-5)
+    np.testing.assert_allclose(float(losses["smooth_loss"]),
+                               oracle["smooth_loss"], rtol=2e-3, atol=1e-6)
+    np.testing.assert_allclose(float(losses["loss_net"]),
+                               oracle["loss_net"], rtol=5e-4)

@@ -53,18 +53,27 @@ def test_refine_trainer_smoke(tmp_path):
 
 @pytest.mark.slow
 def test_lidf_trainer_epoch_and_resume(tmp_path):
+    import os.path as osp
+
     cfg = smoke_cfg(tmp_path)
+    cfg.training.train_vis_iter = 1  # train-time vis (≙ train_lidf.py:469-473)
     tr = LIDFTrainer(cfg)
     tr.run()
     assert tr.ckpt.latest_exists()
-    import os.path as osp
     assert osp.exists(tr.epoch_log_path)
+    # best-metric tracking (≙ train_lidf.py:317-371): scalars updated, stored
+    # in the ckpt meta, and a best_network snapshot written on improvement
+    assert tr.best["min_err"] < 1e5
+    assert osp.isdir(osp.join(tr.ckpt_dir, "best_network"))
+    import glob as _glob
+    assert _glob.glob(osp.join(tr.vis_dir, "train_ep0_*_panel.png"))
 
-    # resume picks up epoch counter
+    # resume picks up epoch counter AND the best scalars
     cfg2 = smoke_cfg(tmp_path, nepochs=2)
     cfg2.resume = "latest_network"
     tr2 = LIDFTrainer(cfg2)
     assert tr2.start_epoch == 1
+    assert tr2.best["min_err"] == pytest.approx(tr.best["min_err"])
     tr2.run()
 
     # eval path produces metrics
@@ -72,3 +81,30 @@ def test_lidf_trainer_epoch_and_resume(tmp_path):
     # synthetic valid loader exists
     assert "synthetic" in res
     assert np.isfinite(res["synthetic"].get("loss_net", np.nan))
+
+
+@pytest.mark.slow
+def test_lidf_eval_with_pred_mask(tmp_path):
+    """mask_type='pred' end-to-end (≙ pipeline.py:117-129): the dataset
+    supplies a pred_mask batch key and the eval step consumes it."""
+    cfg = smoke_cfg(tmp_path)
+    cfg.mask_type = "pred"
+    cfg.dataset.provide_pred_mask = True
+    tr = LIDFTrainer(cfg)
+    res = tr.validate(0, max_batches=1)
+    assert "synthetic" in res
+    assert np.isfinite(res["synthetic"].get("loss_net", np.nan))
+
+
+@pytest.mark.slow
+def test_lidf_valid_sample_num_all(tmp_path):
+    """grid.valid_sample_num == -1 (use every valid pixel,
+    ≙ pipeline.py:137-140) trains and evals."""
+    cfg = smoke_cfg(tmp_path)
+    cfg.grid.valid_sample_num = -1
+    cfg.debug = True  # cap epoch length
+    tr = LIDFTrainer(cfg)
+    assert tr.static.use_all_valid
+    assert tr.static.n_valid == 48 * 64
+    means = tr.train_epoch(0)
+    assert np.isfinite(means["loss_net"])
