@@ -14,12 +14,27 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from implicit_depth_tpu.builder import build_lidf, build_static
+from implicit_depth_tpu.builder import build_lidf, build_refine, build_static
 from implicit_depth_tpu.config import load_config
 from implicit_depth_tpu.data.synthetic import synthetic_batch
 from implicit_depth_tpu.models.lidf import prepare_inputs
 
 NOMINAL_RAYS_PER_SEC = 1_000_000.0
+
+
+def _timed_loop(fn, *args, iters=10):
+    """In-graph fori-loop timing with one readback (remote-relay safe)."""
+
+    @jax.jit
+    def loop(kk, *a):
+        def body(i, acc):
+            return acc + fn(jax.random.fold_in(kk, i), *a)
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    assert np.isfinite(float(loop(jax.random.key(2), *args)))  # compile + warm
+    t0 = time.perf_counter()
+    assert np.isfinite(float(loop(jax.random.key(3), *args)))
+    return (time.perf_counter() - t0) / iters
 
 
 def main():
@@ -42,29 +57,40 @@ def main():
         lambda kk, i: model.init(kk, i, train=False, use_gt_label=False)
     )(jax.random.key(1), inputs)
 
-    def one(v, b, kk):
+    n_chips = jax.local_device_count()
+
+    # -- stage 2: frozen LIDF + RefineNet (forward_times=2) -----------------
+    refine = build_refine(cfg, static)
+    lidf_out0 = jax.jit(lambda v, i: model.apply(
+        v, i, train=False, use_gt_label=False))(variables, inputs)
+    rvars = jax.jit(lambda kk, i, o: refine.init(
+        kk, i, o, o["pred_pos"]))(jax.random.key(4), inputs, lidf_out0)
+    fwd_times = int(cfg.refine.forward_times)
+
+    def two_stage(kk, v, rv, b):
+        inp = prepare_inputs(static, b, kk, train=True)
+        lout = model.apply(v, inp, train=False, use_gt_label=False)
+        pred = lout["pred_pos"]
+        for _ in range(fwd_times):
+            pred = refine.apply(rv, inp, lout, pred)
+        return jnp.abs(pred).sum().astype(jnp.float32)
+
+    dt2 = _timed_loop(two_stage, variables, rvars, batch)
+    rps2 = batch_size * static.n_rays / dt2 / n_chips
+    print(json.dumps({
+        "metric": "two_stage_fwd_rays_per_sec_per_chip",
+        "value": round(rps2, 1),
+        "unit": "rays/s/chip",
+        "vs_baseline": round(rps2 / NOMINAL_RAYS_PER_SEC, 4),
+    }), flush=True)
+
+    # -- headline: stage-1 forward (LAST line — the driver parses the tail) -
+    def one(kk, v, b):
         return jnp.abs(model.apply(
             v, prepare_inputs(static, b, kk, train=True),
-            train=False, use_gt_label=False)["pred_pos"]).sum()
+            train=False, use_gt_label=False)["pred_pos"]).sum().astype(jnp.float32)
 
-    # The whole timing loop runs in-graph (lax.fori_loop) with ONE host
-    # readback at the end: block_until_ready is not a reliable fence through
-    # the remote-TPU relay, and a per-iteration readback would pay the
-    # ~25 ms tunnel round-trip every step.
-    iters = 10
-
-    @jax.jit
-    def loop(v, b, kk):
-        def body(i, acc):
-            return acc + one(v, b, jax.random.fold_in(kk, i))
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
-
-    assert np.isfinite(float(loop(variables, batch, jax.random.key(2))))  # warm
-    t0 = time.perf_counter()
-    assert np.isfinite(float(loop(variables, batch, jax.random.key(3))))
-    dt = (time.perf_counter() - t0) / iters
-
-    n_chips = jax.local_device_count()
+    dt = _timed_loop(one, variables, batch)
     rays_per_sec = batch_size * static.n_rays / dt / n_chips
     print(json.dumps({
         "metric": "lidf_fwd_rays_per_sec_per_chip",

@@ -239,6 +239,7 @@ _DEFAULTS: Dict[str, Any] = {
         "test_vis_iter": 0,
         "lr": 0.001,
         "num_workers": 4,
+        "worker_type": "thread",   # 'process' for full-res datasets (GIL)
         "do_valid": True,
         "valid_start_epo": 0,
         "optimizer_name": "Adam",
@@ -264,6 +265,7 @@ _DEFAULTS: Dict[str, Any] = {
         "pairs_budget_mode": "per_ray",  # 'per_ray' nearest-K truncation |
                                          # 'global' cross-ray compaction
         "use_pallas_decode": False,  # fused TPU kernel for the pair decode
+        "decode_rays_per_tile": 64,  # Pallas ray-decode tile (rays)
         "mesh_axes": ["data"],       # SPMD mesh axis names
         "mesh_shape": None,          # None => all visible devices on 'data'
         "compute_dtype": "bfloat16", # matmul/conv activations dtype

@@ -115,8 +115,8 @@ def add_noise_to_xyz(xyz: np.ndarray, depth: np.ndarray, params: Dict,
     added where depth > 0."""
     h, w, c = xyz.shape
     f = params["gp_rescale_factor"]
-    small = rng.normal(0.0, params["gaussian_scale"], (h // f, w // f, c))
+    small = rng.normal(0.0, params["gaussian_scale"],
+                       (h // f, w // f, c)).astype(np.float32)
     field = cv2.resize(small, (w, h), interpolation=cv2.INTER_CUBIC)
-    out = xyz.copy()
-    out[depth > 0] += field[depth > 0]
-    return out
+    # vectorized masked add (boolean fancy-indexing costs ~100 ms at 1080p)
+    return xyz + field * (depth > 0)[..., None]

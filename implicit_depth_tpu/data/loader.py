@@ -3,20 +3,37 @@
 Replaces torch ``DataLoader`` + ``DistributedSampler`` (src/trainers/
 train_lidf.py:162-188): deterministic per-epoch shuffling, per-host index
 sharding (each host loads only its slice; chips within a host get their
-sub-batch via the 'data'-sharded device_put), and a thread-pool prefetcher
-(the torch worker processes' role — our decode path is numpy/cv2 which
-releases the GIL). The C++ native runtime (native/) provides a faster decode
-core when built.
+sub-batch via the 'data'-sharded device_put), and a worker-pool prefetcher.
+
+Two worker types (``worker_type``):
+  * ``thread``  — low overhead; right for light decode (procedural synthetic,
+    pre-resized data). The full-res ClearGrasp path is numpy-heavy (GP noise,
+    xyz back-projection at 1080p) and GIL-bound: measured 1.0 s/batch with
+    ZERO scaling from 4→8 threads (scripts/bench_loader.py).
+  * ``process`` — fork-server pool ≙ the torch num_workers processes the
+    reference uses (train_lidf.py:165). The dataset object is shipped once
+    per worker (initializer), items come back pickled (~3 MB each, ~ms).
 """
 
 from __future__ import annotations
 
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Dict, Iterator, Optional
 
 import numpy as np
+
+_WORKER_DS = None
+
+
+def _proc_init(dataset):
+    global _WORKER_DS
+    _WORKER_DS = dataset
+
+
+def _proc_fetch(idx: int, epoch: int):
+    return _WORKER_DS.__getitem__(idx, epoch)
 
 _STACK_KEYS = ("rgb", "depth", "depth_corrupt", "xyz", "xyz_corrupt",
                "corrupt_mask", "valid_mask", "fx", "fy", "cx", "cy")
@@ -33,7 +50,8 @@ def collate(samples) -> Dict[str, np.ndarray]:
 class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, drop_last: bool = True, num_workers: int = 4,
-                 host_id: int = 0, num_hosts: int = 1, prefetch: int = 2):
+                 host_id: int = 0, num_hosts: int = 1, prefetch: int = 2,
+                 worker_type: str = "thread"):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -43,6 +61,30 @@ class DataLoader:
         self.host_id = host_id
         self.num_hosts = num_hosts
         self.prefetch = prefetch
+        self.worker_type = worker_type
+        self._pool = None  # persistent process pool (created lazily)
+
+    def _get_pool(self):
+        if self.worker_type == "process":
+            if self._pool is None:
+                import multiprocessing as mp
+                self._pool = ProcessPoolExecutor(
+                    self.num_workers,
+                    mp_context=mp.get_context("forkserver"),
+                    initializer=_proc_init, initargs=(self.dataset,))
+            return self._pool, _proc_fetch
+        return None, None
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def _epoch_indices(self, epoch: int) -> np.ndarray:
         n = len(self.dataset)
@@ -72,20 +114,31 @@ class DataLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        proc_pool, proc_fetch = self._get_pool()
+
+        def run_batches(pool, fetch):
+            for b in range(n_batches):
+                if stop.is_set():
+                    return False
+                chunk = indices[b * self.batch_size:(b + 1) * self.batch_size]
+                futs = [pool.submit(fetch, int(i), epoch) for i in chunk]
+                try:
+                    out_q.put(collate([f.result() for f in futs]))
+                except Exception as e:  # surface loader errors to consumer
+                    out_q.put(e)
+                    return False
+            return True
+
         def producer():
+            if proc_pool is not None:
+                if run_batches(proc_pool, proc_fetch):
+                    out_q.put(None)
+                return
             with ThreadPoolExecutor(self.num_workers) as pool:
-                for b in range(n_batches):
-                    if stop.is_set():
-                        return
-                    chunk = indices[b * self.batch_size:(b + 1) * self.batch_size]
-                    futs = [pool.submit(self.dataset.__getitem__, int(i), epoch)
-                            for i in chunk]
-                    try:
-                        out_q.put(collate([f.result() for f in futs]))
-                    except Exception as e:  # surface loader errors to consumer
-                        out_q.put(e)
-                        return
-            out_q.put(None)
+                ok = run_batches(pool,
+                                 lambda i, e: self.dataset.__getitem__(i, e))
+            if ok:
+                out_q.put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

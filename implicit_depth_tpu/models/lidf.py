@@ -184,6 +184,8 @@ class LIDFModel(nn.Module):
     pairs_budget: int = 0   # avg pair slots/ray to decode after compaction; 0 = dense
     pairs_budget_mode: str = "per_ray"  # 'per_ray' truncation | 'global' compaction
     use_pallas_decode: bool = False  # fused TPU kernel for the pair decode
+    decode_rays_per_tile: int = 64   # kernel tile (rays); 64*Kb rows fits the
+                                     # 16 MB scoped-VMEM stack (CLAUDE.md)
     remat_backbone: bool = False  # jax.checkpoint the ResNet (trade FLOPs for HBM)
     dtype: Any = jnp.float32
 
@@ -279,7 +281,7 @@ class LIDFModel(nn.Module):
         off, logit = fused_ray_decode(
             pair_vox.astype(self.dtype), pos, ray_feat.astype(self.dtype),
             self._decoder_weights(), kb, self.multires, self.n_iter, 0.001,
-            self.use_sigmoid, self.dtype, 256,
+            self.use_sigmoid, self.dtype, self.decode_rays_per_tile,
             jax.default_backend() != "tpu")  # interpret off-TPU
         return off.reshape(b, r, kb), logit.reshape(b, r, kb)
 
@@ -362,14 +364,24 @@ class LIDFModel(nn.Module):
             sel_valid, mode="drop", unique_indices=True).reshape(b, r, k)
         return pred_offset, prob_logit, decoded
 
-    def __call__(self, inputs: Dict[str, jnp.ndarray], train: bool,
-                 use_gt_label) -> Dict[str, jnp.ndarray]:
+    def trunk(self, inputs: Dict[str, jnp.ndarray], train: bool):
+        """Per-image work shared by all rays: RGB backbone + voxel features.
+        Split out so eval can chunk the ray dimension (tpu.eval_rays_per_chunk)
+        without recomputing the backbone per chunk."""
+        # (train passed positionally: nn.remat static_argnums=(2,))
+        feat_map = self.resnet(inputs["rgb"], train)
+        vox_feat = self.voxel_features(inputs)
+        return feat_map, vox_feat
+
+    def decode_rays(self, inputs: Dict[str, jnp.ndarray],
+                    feat_map: jnp.ndarray, vox_feat: jnp.ndarray,
+                    train: bool, use_gt_label) -> Dict[str, jnp.ndarray]:
+        """Per-ray work: ROI pooling, pair decode, per-ray argmax/softmax.
+        ``inputs`` may carry any subset of the rays (chunked eval)."""
         grid = self.static.grid
         b, r, k = inputs["pair_valid"].shape
 
-        # RGB backbone + per-ray ROI feature (broadcast over K pair slots).
-        # (train passed positionally: nn.remat static_argnums=(2,))
-        feat_map = self.resnet(inputs["rgb"], train)
+        # per-ray ROI feature (broadcast over K pair slots)
         pix_xy = jnp.stack([inputs["miss_px"], inputs["miss_py"]], axis=-1)
         bidx = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None], (b, r))
         roi = roi_window_pool(feat_map, pix_xy, bidx,
@@ -377,8 +389,6 @@ class LIDFModel(nn.Module):
                               out_bbox=self.static.roi_out_bbox)
         roi = roi.reshape(b, r, -1)                               # (B, R, 128)
 
-        # Voxel features gathered per pair.
-        vox_feat = self.voxel_features(inputs)
         dirs = inputs["miss_dir"]
         dir_e = positional_encoding(dirs, self.multires_views, self.pos_encode)
 
@@ -439,8 +449,6 @@ class LIDFModel(nn.Module):
         pred_pos = jnp.where(has_pair[..., None], pred_pos, 0.0)  # dummy row ≙ :452-454
 
         return {
-            "feat_map": feat_map,
-            "vox_feat": vox_feat,
             "roi_feat": roi,
             "prob_logit": prob_logit,
             "prob_softmax": prob_softmax,
@@ -450,6 +458,12 @@ class LIDFModel(nn.Module):
             "has_pair": has_pair,
             "pred_pos": pred_pos,
         }
+
+    def __call__(self, inputs: Dict[str, jnp.ndarray], train: bool,
+                 use_gt_label) -> Dict[str, jnp.ndarray]:
+        feat_map, vox_feat = self.trunk(inputs, train)
+        out = self.decode_rays(inputs, feat_map, vox_feat, train, use_gt_label)
+        return {**out, "feat_map": feat_map, "vox_feat": vox_feat}
 
 
 def masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:

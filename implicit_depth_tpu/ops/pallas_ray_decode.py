@@ -79,9 +79,11 @@ def _decode_rows(pair_vox, pe, ray_e1_off, ray_e1_prob, w, kb,
     w: split weights. Returns (offset (rows,), logit (rows,)) f32."""
     rows = pair_vox.shape[0]
     act = lambda v: jnp.where(v > 0, v, LEAKY * v)
+    # Mosaic requires 32-bit matmul accumulation ('Expected matmul acc to be
+    # 32-bit'); inputs stay in ``dtype``, accumulators in f32
     dot = lambda a, b, out=None: jax.lax.dot_general(
         a.astype(dtype), b.astype(dtype), (((1,), (0,)), ((), ())),
-        preferred_element_type=out or dtype)
+        preferred_element_type=jnp.float32)
 
     pair_in = jnp.concatenate([pair_vox, pe], axis=-1)
 

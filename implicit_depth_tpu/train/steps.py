@@ -122,6 +122,46 @@ def make_lidf_eval_step(cfg, model: LIDFModel, ray_axis=None,
     Returns eval_step(state, batch, key) -> (inputs, outputs, losses).
     """
 
+    chunk = int(cfg.tpu.get("eval_rays_per_chunk", 0) or 0)
+
+    # ray-dim keys decode_rays consumes (models/lidf.py)
+    _RAY_KEYS = ("miss_px", "miss_py", "miss_dir", "pair_cell", "pair_valid",
+                 "t_enter", "t_exit", "pair_label")
+
+    def _chunked_forward(variables, inputs):
+        """Bound eval peak memory: backbone + voxel features once, then
+        lax.map the per-ray decode over fixed-size ray chunks
+        (tpu.eval_rays_per_chunk). Identical outputs to the one-shot path."""
+        feat_map, vox_feat = model.apply(variables, inputs, False,
+                                         method=LIDFModel.trunk)
+        r = inputs["pair_valid"].shape[1]
+        n_chunks = -(-r // chunk)
+        pad = n_chunks * chunk - r
+
+        def split(x):  # (B, R, ...) -> (n_chunks, B, chunk, ...)
+            if pad:
+                x = jnp.pad(x, ((0, 0), (0, pad)) + ((0, 0),) * (x.ndim - 2))
+            x = x.reshape(x.shape[0], n_chunks, chunk, *x.shape[2:])
+            return jnp.moveaxis(x, 1, 0)
+
+        chunks = {k: split(inputs[k]) for k in _RAY_KEYS}
+
+        def body(ch):
+            sub = dict(inputs)
+            sub.update(ch)
+            return model.apply(variables, sub, feat_map, vox_feat, False,
+                               False, method=LIDFModel.decode_rays)
+
+        outs = jax.lax.map(body, chunks)
+
+        def join(x):  # (n_chunks, B, chunk, ...) -> (B, R, ...)
+            x = jnp.moveaxis(x, 0, 1)
+            x = x.reshape(x.shape[0], n_chunks * chunk, *x.shape[3:])
+            return x[:, :r]
+
+        out = {k: join(v) for k, v in outs.items()}
+        return {**out, "feat_map": feat_map, "vox_feat": vox_feat}
+
     @jax.jit
     def eval_step(state: TrainState, batch, key):
         inputs = prepare_inputs(model.static, batch, key, train=False,
@@ -129,9 +169,12 @@ def make_lidf_eval_step(cfg, model: LIDFModel, ray_axis=None,
                                 pred_mask=batch.get("pred_mask"))
         if ray_axis is not None:
             inputs = ray_sharding_constraints(inputs, None, ray_axis, mesh)
-        out = model.apply({"params": state.params,
-                           "batch_stats": state.batch_stats},
-                          inputs, train=False, use_gt_label=False)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        if chunk and chunk < inputs["pair_valid"].shape[1]:
+            out = _chunked_forward(variables, inputs)
+        else:
+            out = model.apply(variables, inputs, train=False,
+                              use_gt_label=False)
         kw = _loss_kwargs(cfg, False, jnp.asarray(10 ** 6))
         kw["prob_w"] = cfg.loss.prob_w
         losses = lidf_loss(inputs, out, **kw)

@@ -139,7 +139,8 @@ class BaseTrainer:
         ds = get_dataset(cfg.dataset, "train", base_seed=cfg.seed or 0)
         return DataLoader(ds, cfg.training.batch_size, shuffle=True,
                           seed=cfg.seed or 0, num_workers=cfg.training.num_workers,
-                          host_id=jax.process_index(), num_hosts=jax.process_count())
+                          host_id=jax.process_index(), num_hosts=jax.process_count(),
+                          worker_type=cfg.training.get("worker_type", "thread"))
 
     def make_valid_loaders(self) -> Dict[str, DataLoader]:
         cfg = self.cfg

@@ -24,8 +24,9 @@ H, W, BS = 240, 320, 4
 TARGET_STEP_MS = 170.0  # round-1 train step; loader must beat this
 
 
-def timed(ds, n_batches=24, workers=4):
-    loader = DataLoader(ds, BS, shuffle=True, num_workers=workers)
+def timed(ds, n_batches=24, workers=4, worker_type="thread"):
+    loader = DataLoader(ds, BS, shuffle=True, num_workers=workers,
+                        worker_type=worker_type)
     it = iter(loader.epoch(0))
     next(it)  # warm the pool
     t0 = time.perf_counter()
@@ -35,6 +36,7 @@ def timed(ds, n_batches=24, workers=4):
         if done >= n_batches:
             break
     dt = (time.perf_counter() - t0) / max(done - 1, 1)
+    loader.close()
     return dt
 
 
@@ -64,10 +66,12 @@ def main():
             "use_data_augmentation": True, "depth_aug": True,
             "corrupt_table": True}})
         ds2 = get_dataset(cfg2.dataset, "train")
-        for workers in (4, 8):
-            dt = timed(ds2, n_batches=12, workers=workers)
+        for workers, wt in ((4, "thread"), (4, "process"), (8, "process"),
+                            (16, "process")):
+            dt = timed(ds2, n_batches=12, workers=workers, worker_type=wt)
             print(json.dumps({
                 "dataset": "cleargrasp_syn_1080p", "workers": workers,
+                "worker_type": wt,
                 "batch_ms": round(dt * 1e3, 1),
                 "batches_per_sec": round(1 / dt, 2),
                 "headroom_vs_step": round(TARGET_STEP_MS / (dt * 1e3), 2),

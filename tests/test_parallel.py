@@ -178,6 +178,50 @@ def test_data_rays_mesh_train_step_matches_single_device():
                                    rtol=1e-3, atol=1e-5)
 
 
+def test_chunked_eval_matches_one_shot():
+    """tpu.eval_rays_per_chunk: lax.map'd per-ray decode ≡ one-shot eval
+    (bounds eval peak memory for the 76 800-ray full-pixel pass)."""
+    import jax.numpy as jnp
+    from implicit_depth_tpu.config import load_config
+    from implicit_depth_tpu.data.synthetic import synthetic_batch
+    from implicit_depth_tpu.geometry.voxel import make_voxel_grid
+    from implicit_depth_tpu.models.lidf import LIDFModel, LIDFStatic, prepare_inputs
+    from implicit_depth_tpu.train.state import TrainState, make_tx
+    from implicit_depth_tpu.train.steps import make_lidf_eval_step
+
+    H, W = 48, 64
+    mk_cfg = lambda chunk: load_config(overrides={
+        "mask_type": "all", "dataset": {"img_height": H, "img_width": W},
+        "grid": {"valid_sample_num": 128},
+        "tpu": {"max_pairs_per_ray": 8, "compute_dtype": "float32",
+                "eval_rays_per_chunk": chunk}})
+    static = LIDFStatic(grid=make_voxel_grid(8), n_valid=128, n_rays=H * W,
+                        k_pairs=8)
+    model = LIDFModel(static=static, rgb_out=8, pnet_out=16, pnet_gf=8,
+                      imnet_gf=8, resnet_stages=(1, 1, 1, 1))
+    raw = synthetic_batch(0, 1, H, W)
+    batch = {k: jnp.asarray(v) for k, v in raw.items()}
+    inputs = jax.jit(lambda b, k: prepare_inputs(static, b, k, train=False))(
+        batch, jax.random.key(0))
+    variables = jax.jit(lambda k, i: model.init(
+        k, i, train=False, use_gt_label=False))(jax.random.key(1), inputs)
+    tx = make_tx(mk_cfg(0).training, 10)
+    state = TrainState.create(variables["params"], variables["batch_stats"], tx)
+
+    _, out_a, loss_a = make_lidf_eval_step(mk_cfg(0), model)(
+        state, batch, jax.random.key(2))
+    # 1000 does not divide 3072 rays -> exercises the padding path too
+    _, out_b, loss_b = make_lidf_eval_step(mk_cfg(1000), model)(
+        state, batch, jax.random.key(2))
+
+    np.testing.assert_allclose(np.asarray(out_a["pred_pos"]),
+                               np.asarray(out_b["pred_pos"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_a["prob_logit"]),
+                               np.asarray(out_b["prob_logit"]), atol=1e-5)
+    np.testing.assert_allclose(float(loss_a["loss_net"]),
+                               float(loss_b["loss_net"]), rtol=1e-5)
+
+
 def test_batch_sharding_layout(mesh):
     x = jnp.zeros((8, 4, 4))
     sharded = shard_batch({"x": x}, mesh)["x"]
