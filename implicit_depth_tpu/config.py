@@ -248,6 +248,9 @@ _DEFAULTS: Dict[str, Any] = {
     "loss": {
         "hard_neg": False,
         "hard_neg_ratio": 0.1,
+        # informational: under GSPMD the hard-neg top-k is ALWAYS global
+        # (models/lidf.py::hard_neg_mean over the sharded array) — unlike the
+        # reference's per-rank-local top-k (pipeline.py:475-478)
         "hard_neg_distributed": True,
         "pos_loss_type": "single",
         "pos_w": 100.0,

@@ -183,8 +183,19 @@ def fused_ray_decode(pair_vox, pos, ray_feat, weights,
 
 
 def _fused_fwd_impl(pair_vox, pos, ray_feat, weights, kb, multires, n_iter,
-                    init_offset, use_sigmoid, dtype, rays_per_tile, interpret):
-    n_rows, c_vox = pair_vox.shape
+                    init_offset, use_sigmoid, dtype, rays_per_tile, interpret,
+                    *, cell_ids=None, vox_table=None):
+    """``pair_vox`` holds gathered (N·kb, Cv) rows — OR pass
+    ``cell_ids`` (N·kb,) + ``vox_table`` (n_cells, Cv) and the lookup happens
+    IN-kernel as a one-hot MXU matmul per tile (pair_vox then ignored):
+    TPU per-row gathers from HBM are the measured decode bottleneck, while a
+    (rows, n_cells) one-hot against the VMEM-resident table is MXU work."""
+    in_kernel_vox = cell_ids is not None
+    if in_kernel_vox:
+        n_cells, c_vox = vox_table.shape
+        n_rows = cell_ids.shape[0]
+    else:
+        n_rows, c_vox = pair_vox.shape
     n_rays, c_ray = ray_feat.shape
     assert n_rows == n_rays * kb, (n_rows, n_rays, kb)
     c_pos = 6 * (1 + 2 * multires)
@@ -194,8 +205,11 @@ def _fused_fwd_impl(pair_vox, pos, ray_feat, weights, kb, multires, n_iter,
     pad_rays = (-n_rays) % t
     if pad_rays:
         ray_feat = jnp.pad(ray_feat, ((0, pad_rays), (0, 0)))
-        pair_vox = jnp.pad(pair_vox, ((0, pad_rays * kb), (0, 0)))
         pos = jnp.pad(pos, ((0, pad_rays * kb), (0, 0)))
+        if in_kernel_vox:
+            cell_ids = jnp.pad(cell_ids, (0, pad_rays * kb))
+        else:
+            pair_vox = jnp.pad(pair_vox, ((0, pad_rays * kb), (0, 0)))
     n_tiles = (n_rays + pad_rays) // t
     rows_t = t * kb
 
@@ -204,16 +218,26 @@ def _fused_fwd_impl(pair_vox, pos, ray_feat, weights, kb, multires, n_iter,
 
     def kernel(vox_ref, pos_ref, ray_ref, *rest):
         wrefs, (off_ref, logit_ref) = rest[:-2], rest[-2:]
+        if in_kernel_vox:
+            table_ref, wrefs = wrefs[-1], wrefs[:-1]
         wd = {k: (r[0] if w[k].ndim == 1 else r[:])
               for k, r in zip(wkeys, wrefs)}
-        ray_rows = ray_ref[:]
         dot = lambda a, b: jax.lax.dot_general(
             a.astype(dtype), b.astype(dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
+        if in_kernel_vox:
+            # one-hot MXU lookup: rows (rows_t, n_cells) @ table (n_cells, Cv)
+            ids = vox_ref[:]                               # (rows_t, 1) i32
+            cols = jax.lax.broadcasted_iota(jnp.int32, (rows_t, n_cells), 1)
+            onehot = (ids == cols).astype(dtype)
+            pair_vox_t = dot(onehot, table_ref[:]).astype(dtype)
+        else:
+            pair_vox_t = vox_ref[:].astype(dtype)
+        ray_rows = ray_ref[:]
         ray_e1_off = dot(ray_rows, wd["offr_w1"])
         ray_e1_prob = dot(ray_rows, wd["probr_w1"])
         pe = _posenc_pair(pos_ref[:], multires, dtype)
-        off, logit = _decode_rows(vox_ref[:].astype(dtype), pe, ray_e1_off,
+        off, logit = _decode_rows(pair_vox_t, pe, ray_e1_off,
                                   ray_e1_prob, wd, kb, n_iter=n_iter,
                                   init_offset=init_offset,
                                   use_sigmoid=use_sigmoid, dtype=dtype)
@@ -230,28 +254,92 @@ def _fused_fwd_impl(pair_vox, pos, ray_feat, weights, kb, multires, n_iter,
               + (n_iter + 1) * (g4 * g4 // 2 + (g4 // 2) * (g4 // 4) + g4 // 4))
         + c_ray * g4 * 2)
 
+    if in_kernel_vox:
+        vox_in = cell_ids[:, None].astype(jnp.int32)
+        vox_spec = pl.BlockSpec((rows_t, 1), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        extra = [jnp.asarray(vox_table, dtype)]
+        extra_specs = [pl.BlockSpec(vox_table.shape, lambda i: (0, 0),
+                                    memory_space=pltpu.VMEM)]
+        flops += 2 * (n_rays + pad_rays) * kb * n_cells * c_vox
+    else:
+        vox_in = pair_vox
+        vox_spec = pl.BlockSpec((rows_t, c_vox), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        extra, extra_specs = [], []
+
+    # tiles beyond 512 rows exceed the default 16 MB scoped-VMEM stack
+    # (~20 KB/row measured from the compiler's own report) — raise the cap
+    vmem_limit = None if rows_t <= 512 else min(
+        int(rows_t * 24 * 1024 + 8 * 2 ** 20), 120 * 2 ** 20)
     off, logit = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec((rows_t, c_vox), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=[vox_spec,
                   pl.BlockSpec((rows_t, 8), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((t, c_ray), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-                  *w_specs],
+                  *w_specs, *extra_specs],
         out_specs=(out_spec, out_spec),
         out_shape=(jax.ShapeDtypeStruct(((n_rays + pad_rays) * kb, 1),
                                         jnp.float32),
                    jax.ShapeDtypeStruct(((n_rays + pad_rays) * kb, 1),
                                         jnp.float32)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=vmem_limit),
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=(n_rays + pad_rays) * kb * (c_vox * 2 + 32),
             transcendentals=(n_rays + pad_rays) * kb * 12 * multires),
         interpret=interpret,
-    )(pair_vox, pos, ray_feat, *warrs)
+    )(vox_in, pos, ray_feat, *warrs, *extra)
     return off[:n_rows, 0], logit[:n_rows, 0]
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
+def fused_ray_decode_onehot(cell_ids, pos, ray_feat_and_table, weights,
+                            kb, multires=8, n_iter=2, init_offset=0.001,
+                            use_sigmoid=False, dtype=jnp.bfloat16,
+                            rays_per_tile=256, interpret=False):
+    """Variant with the voxel-feature lookup INSIDE the kernel (one-hot MXU
+    against the VMEM-resident table). ``ray_feat_and_table`` is a tuple
+    (ray_feat (N, Cr), vox_table (n_cells, Cv))."""
+    ray_feat, vox_table = ray_feat_and_table
+    return _fused_fwd_impl(None, pos, ray_feat, weights, kb, multires,
+                           n_iter, init_offset, use_sigmoid, dtype,
+                           rays_per_tile, interpret,
+                           cell_ids=cell_ids, vox_table=vox_table)
+
+
+def _onehot_fwd(cell_ids, pos, ray_feat_and_table, weights, kb, multires,
+                n_iter, init_offset, use_sigmoid, dtype, rays_per_tile,
+                interpret):
+    out = fused_ray_decode_onehot(cell_ids, pos, ray_feat_and_table, weights,
+                                  kb, multires, n_iter, init_offset,
+                                  use_sigmoid, dtype, rays_per_tile, interpret)
+    return out, (cell_ids, pos, ray_feat_and_table, weights)
+
+
+def _onehot_bwd(kb, multires, n_iter, init_offset, use_sigmoid, dtype,
+                rays_per_tile, interpret, res, g):
+    cell_ids, pos, (ray_feat, vox_table), weights = res
+
+    def ref(rf, table, ws):
+        pv = table[cell_ids]
+        return xla_ray_decode(pv, pos, rf, ws, kb=kb, multires=multires,
+                              n_iter=n_iter, init_offset=init_offset,
+                              use_sigmoid=use_sigmoid, dtype=dtype)
+
+    _, vjp = jax.vjp(ref, ray_feat, vox_table, weights)
+    d_rf, d_table, d_w = vjp(g)
+    d_ids = np.zeros(cell_ids.shape, dtype=jax.dtypes.float0)  # int primal
+    return d_ids, jnp.zeros_like(pos), (d_rf, d_table), d_w
+
+
+fused_ray_decode_onehot.defvjp(_onehot_fwd, _onehot_bwd)
 
 
 def _fused_fwd(pair_vox, pos, ray_feat, weights, kb, multires, n_iter,

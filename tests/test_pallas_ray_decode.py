@@ -114,6 +114,33 @@ def test_model_ray_major_kernel_matches_dense():
                                np.asarray(out_a["pred_pos"]), atol=2e-5)
 
 
+def test_onehot_variant_matches_gathered(data):
+    """In-kernel one-hot voxel lookup ≡ feeding pre-gathered rows."""
+    from implicit_depth_tpu.ops.pallas_ray_decode import fused_ray_decode_onehot
+
+    _, pos, ray_feat, w = data
+    rng = np.random.default_rng(5)
+    n_cells = 272  # lane-unaligned on purpose
+    table = jnp.asarray(rng.normal(size=(n_cells, CV)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, n_cells, N_RAYS * KB, dtype=np.int32))
+    want = fused_ray_decode(table[ids], pos, ray_feat, w, KB, 8, 2, 0.001,
+                            False, jnp.float32, 32, True)
+    got = fused_ray_decode_onehot(ids, pos, (ray_feat, table), w, KB, 8, 2,
+                                  0.001, False, jnp.float32, 32, True)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    # grads flow to the table (bwd: XLA recompute through the gather)
+    def loss(tb):
+        off, logit = fused_ray_decode_onehot(ids, pos, (ray_feat, tb), w, KB,
+                                             8, 2, 0.001, False, jnp.float32,
+                                             32, True)
+        return jnp.sum(off + logit)
+
+    gt = jax.grad(loss)(table)
+    assert np.isfinite(np.asarray(gt)).all() and np.abs(np.asarray(gt)).sum() > 0
+
+
 def test_custom_vjp_grads_match_xla(data):
     """Backward (XLA recompute) must equal differentiating the oracle."""
     pair_vox, pos, ray_feat, w = data
