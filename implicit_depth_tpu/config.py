@@ -268,7 +268,7 @@ _DEFAULTS: Dict[str, Any] = {
         "pairs_budget_mode": "per_ray",  # 'per_ray' nearest-K truncation |
                                          # 'global' cross-ray compaction
         "use_pallas_decode": False,  # fused TPU kernel for the pair decode
-        "decode_rays_per_tile": 64,  # Pallas ray-decode tile (rays)
+        "decode_rays_per_tile": 128,  # Pallas ray-decode tile (rays)
         "mesh_axes": ["data"],       # SPMD mesh axis names
         "mesh_shape": None,          # None => all visible devices on 'data'
         "compute_dtype": "bfloat16", # matmul/conv activations dtype

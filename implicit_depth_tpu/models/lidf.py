@@ -184,8 +184,8 @@ class LIDFModel(nn.Module):
     pairs_budget: int = 0   # avg pair slots/ray to decode after compaction; 0 = dense
     pairs_budget_mode: str = "per_ray"  # 'per_ray' truncation | 'global' compaction
     use_pallas_decode: bool = False  # fused TPU kernel for the pair decode
-    decode_rays_per_tile: int = 64   # kernel tile (rays); 64*Kb rows fits the
-                                     # 16 MB scoped-VMEM stack (CLAUDE.md)
+    decode_rays_per_tile: int = 128  # kernel tile (rays); vmem_limit raise in
+                                     # the kernel covers rows>512 (measured best)
     remat_backbone: bool = False  # jax.checkpoint the ResNet (trade FLOPs for HBM)
     dtype: Any = jnp.float32
 
@@ -262,11 +262,17 @@ class LIDFModel(nn.Module):
             w[f"prob_b{i + 1}"] = prob["_MLP4_0"][f"Dense_{i}"]["bias"]
         return w
 
-    def _decode_ray_major(self, inputs, vox_feat, roi, dir_e):
-        """Fused ray-major decode (ops/pallas_ray_decode.py): contiguous
-        (B, R, Kb) slots, per-ray features broadcast in-kernel, posenc
-        in-register. Used by the per_ray budget mode on TPU."""
-        from implicit_depth_tpu.ops.pallas_ray_decode import fused_ray_decode
+    def _decode_ray_major(self, inputs, vox_feat, roi, dir_e,
+                          use_kernel: bool):
+        """Ray-major decode (ops/pallas_ray_decode.py): contiguous (B, R, Kb)
+        slots, per-ray features' layer-1 computed once per ray, lane-packed
+        posenc. ``use_kernel`` picks the fused Pallas kernel (everything in
+        VMEM, posenc in-register) vs the identical-math XLA path. Used by the
+        per_ray budget mode."""
+        from implicit_depth_tpu.ops.pallas_ray_decode import (
+            fused_ray_decode,
+            xla_ray_decode,
+        )
 
         grid = self.static.grid
         b, r, kb = inputs["pair_valid"].shape
@@ -278,11 +284,18 @@ class LIDFModel(nn.Module):
             [enter, leave, jnp.zeros_like(enter[..., :2])],
             axis=-1).reshape(b * r * kb, 8).astype(jnp.float32)
         ray_feat = jnp.concatenate([roi, dir_e], -1).reshape(b * r, -1)
-        off, logit = fused_ray_decode(
-            pair_vox.astype(self.dtype), pos, ray_feat.astype(self.dtype),
-            self._decoder_weights(), kb, self.multires, self.n_iter, 0.001,
-            self.use_sigmoid, self.dtype, self.decode_rays_per_tile,
-            jax.default_backend() != "tpu")  # interpret off-TPU
+        if use_kernel:
+            off, logit = fused_ray_decode(
+                pair_vox.astype(self.dtype), pos, ray_feat.astype(self.dtype),
+                self._decoder_weights(), kb, self.multires, self.n_iter, 0.001,
+                self.use_sigmoid, self.dtype, self.decode_rays_per_tile,
+                jax.default_backend() != "tpu")  # interpret off-TPU
+        else:
+            off, logit = xla_ray_decode(
+                pair_vox.astype(self.dtype), pos, ray_feat.astype(self.dtype),
+                self._decoder_weights(), kb=kb, multires=self.multires,
+                n_iter=self.n_iter, use_sigmoid=self.use_sigmoid,
+                dtype=self.dtype)
         return off.reshape(b, r, kb), logit.reshape(b, r, kb)
 
     def _pair_positions(self, inputs):
@@ -405,12 +418,12 @@ class LIDFModel(nn.Module):
             sliced = dict(inputs)
             for key in ("pair_cell", "pair_valid", "t_enter", "t_exit"):
                 sliced[key] = inputs[key][:, :, :kb]
-            fused_ok = (self.use_pallas_decode and self.pos_encode
-                        and self.offdec_type == "IEF"
-                        and not self.is_initializing())
-            if fused_ok:
-                off_b, logit_b = self._decode_ray_major(sliced, vox_feat,
-                                                        roi, dir_e)
+            ray_major_ok = (self.pos_encode and self.offdec_type == "IEF"
+                            and not self.is_initializing())
+            if ray_major_ok:
+                off_b, logit_b = self._decode_ray_major(
+                    sliced, vox_feat, roi, dir_e,
+                    use_kernel=self.use_pallas_decode)
             else:
                 off_b, logit_b = self._decode_dense(sliced, vox_feat, roi, dir_e)
             pad = ((0, 0), (0, 0), (0, k - kb))

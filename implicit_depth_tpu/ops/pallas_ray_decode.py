@@ -43,20 +43,45 @@ from jax.experimental.pallas import tpu as pltpu
 LEAKY = 0.02
 
 
-def _posenc_pair(pos8, multires: int, dtype):
+def _posenc_consts(multires: int):
+    """Lane-packing constants for the pair posenc: S (8, 12·multires) and
+    phase (12·multires,) such that ``sin(pos8 @ S + phase)`` emits every
+    sin/cos column of both positions' encodings in embedder layout order
+    (per freq: sin block then cos block; cos x = sin(x + π/2)).
+
+    Why: sin/cos on (rows, 3) slices uses 3 of the VPU's 128 lanes — the
+    measured per-pair decode hotspot (BASELINE.md). One small MXU matmul
+    packs all 12·multires transcendental columns into a single full-lane
+    sin() pass. S has one power-of-two entry per column, so the product is
+    exact even under bf16-split f32 matmul."""
+    n = 12 * multires
+    smat = np.zeros((8, n), np.float32)
+    phase = np.zeros((n,), np.float32)
+    c = 0
+    for base in (0, 3):
+        for j in range(multires):
+            for ph in (0.0, np.pi / 2):
+                for d in range(3):
+                    smat[base + d, c] = 2.0 ** j
+                    phase[c] = ph
+                    c += 1
+    return smat, phase
+
+
+def _posenc_pair(pos8, smat, phase, dtype):
     """pos8: (rows, 8) f32 = [enter xyz | leave xyz | pad]. Returns
     (rows, 6·(1+2·multires)) in ``dtype`` laid out as
     [enter | sin/cos blocks ... | leave | sin/cos blocks ...] matching
-    models/embedder.py (per-freq sin block then cos block)."""
-    out = []
-    for base in (0, 3):
-        x = pos8[:, base:base + 3]
-        parts = [x]
-        for j in range(multires):
-            f = np.float32(2.0 ** j)
-            parts.append(jnp.concatenate([jnp.sin(x * f), jnp.cos(x * f)], -1))
-        out.append(jnp.concatenate(parts, -1))
-    return jnp.concatenate(out, -1).astype(dtype)
+    models/embedder.py (per-freq sin block then cos block). smat/phase
+    from ``_posenc_consts`` (passed in so the kernel gets them as VMEM
+    operands)."""
+    trig = jnp.sin(jax.lax.dot_general(
+        pos8, smat, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + phase)
+    half = trig.shape[-1] // 2
+    return jnp.concatenate(
+        [pos8[:, 0:3], trig[:, :half], pos8[:, 3:6], trig[:, half:]],
+        axis=-1).astype(dtype)
 
 
 def split_l1(w1: jnp.ndarray, c_vox: int, c_roi: int, c_pos: int, c_dir: int):
@@ -128,10 +153,13 @@ def _prep_weights(weights: Dict[str, jnp.ndarray], c_vox: int, c_roi: int,
     offx = offp[-n_extra:] if n_extra else offp[:0]
     offp = offp[:offp.shape[0] - n_extra] if n_extra else offp
     probp, probr = split_l1(weights["prob_w1"], c_vox, c_roi, c_pos, c_dir)
+    multires = (c_pos // 6 - 1) // 2
+    smat, phase = _posenc_consts(multires)
     w = {
         "offp_w1": offp, "offr_w1": offr, "offx_w1": offx,
         "probp_w1": probp, "probr_w1": probr,
         "off_enc_w": weights["off_enc_w"], "off_enc_b": weights["off_enc_b"],
+        "pe_smat": smat, "pe_phase": phase,
     }
     for p in ("off", "prob"):
         for i in (1, 2, 3, 4):
@@ -140,6 +168,7 @@ def _prep_weights(weights: Dict[str, jnp.ndarray], c_vox: int, c_roi: int,
                 w[f"{p}_w{i}"] = weights[f"{p}_w{i}"]
     cast = lambda k, a: (jnp.asarray(a, jnp.float32)
                          if k.endswith(("_b1", "_b2", "_b3", "_b4", "enc_b"))
+                         or k.startswith("pe_")
                          else jnp.asarray(a, dtype))
     return {k: cast(k, a) for k, a in w.items()}
 
@@ -163,7 +192,7 @@ def xla_ray_decode(pair_vox: jnp.ndarray, pos: jnp.ndarray,
         preferred_element_type=jnp.float32)
     ray_e1_off = dot(ray_feat, w["offr_w1"])
     ray_e1_prob = dot(ray_feat, w["probr_w1"])
-    pe = _posenc_pair(pos, multires, dtype)
+    pe = _posenc_pair(pos, w["pe_smat"], w["pe_phase"], dtype)
     return _decode_rows(pair_vox.astype(dtype), pe, ray_e1_off, ray_e1_prob,
                         w, kb, n_iter=n_iter, init_offset=init_offset,
                         use_sigmoid=use_sigmoid, dtype=dtype)
@@ -236,7 +265,7 @@ def _fused_fwd_impl(pair_vox, pos, ray_feat, weights, kb, multires, n_iter,
         ray_rows = ray_ref[:]
         ray_e1_off = dot(ray_rows, wd["offr_w1"])
         ray_e1_prob = dot(ray_rows, wd["probr_w1"])
-        pe = _posenc_pair(pos_ref[:], multires, dtype)
+        pe = _posenc_pair(pos_ref[:], wd["pe_smat"], wd["pe_phase"], dtype)
         off, logit = _decode_rows(pair_vox_t, pe, ray_e1_off,
                                   ray_e1_prob, wd, kb, n_iter=n_iter,
                                   init_offset=init_offset,

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _bilinear(feat: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
@@ -107,12 +108,19 @@ def roi_window_pool(feat: jnp.ndarray, pix_xy: jnp.ndarray, pix_batch: jnp.ndarr
     half = inp_bbox // 2
     win = inp_bbox // out_bbox  # pixels per output bin (4)
 
-    # mean pool over win×win blocks, stride 1, via separable cumulative sums:
-    # pooled[y, x] = mean feat[y:y+win, x:x+win]
-    cs = jnp.cumsum(jnp.pad(feat, ((0, 0), (1, 0), (0, 0), (0, 0))), axis=1)
-    row = (cs[:, win:, :, :] - cs[:, :-win, :, :]) / win          # (B, H-win+1, W, C)
-    cs2 = jnp.cumsum(jnp.pad(row, ((0, 0), (0, 0), (1, 0), (0, 0))), axis=2)
-    pooled = (cs2[:, :, win:, :] - cs2[:, :, :-win, :]) / win      # (B, H-w+1, W-w+1, C)
+    # mean pool over win×win blocks, stride 1, as two banded matmuls
+    # (pooled[y, x] = mean feat[y:y+win, x:x+win]): cumsum scans run on the
+    # VPU with C lanes (<128) idle-heavy, while a (len, len-win+1) band of
+    # 1/win entries contracts on the MXU — measured faster and numerically
+    # a direct 16-term mean rather than a difference of long prefix sums
+    def band(n):
+        m = np.zeros((n, n - win + 1), np.float32)
+        for i in range(n - win + 1):
+            m[i:i + win, i] = 1.0 / win
+        return jnp.asarray(m, feat.dtype)
+
+    row = jnp.einsum("hp,bhwc->bpwc", band(h), feat)   # (B, H-win+1, W, C)
+    pooled = jnp.einsum("wq,bpwc->bpqc", band(w), row)  # (B, ph, pw, C)
     ph, pw = pooled.shape[1], pooled.shape[2]
 
     px = jnp.clip(pix_xy[..., 0], half, w - half)                 # shifted-inside window
