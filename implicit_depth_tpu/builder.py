@@ -55,6 +55,7 @@ def build_lidf(cfg: Config, static: LIDFStatic) -> LIDFModel:
         pairs_budget_mode=cfg.tpu.get("pairs_budget_mode", "per_ray"),
         use_pallas_decode=cfg.tpu.get("use_pallas_decode", False),
         decode_rays_per_tile=cfg.tpu.get("decode_rays_per_tile", 64),
+        decode_bwd=cfg.tpu.get("decode_bwd", "xla"),
         remat_backbone=cfg.tpu.get("remat_backbone", False),
         dtype=compute_dtype(cfg),
     )

@@ -269,6 +269,7 @@ _DEFAULTS: Dict[str, Any] = {
                                          # 'global' cross-ray compaction
         "use_pallas_decode": False,  # fused TPU kernel for the pair decode
         "decode_rays_per_tile": 128,  # Pallas ray-decode tile (rays)
+        "decode_bwd": "xla",         # kernel backward: 'xla' recompute | 'kernel' fused
         "mesh_axes": ["data"],       # SPMD mesh axis names
         "mesh_shape": None,          # None => all visible devices on 'data'
         "compute_dtype": "bfloat16", # matmul/conv activations dtype

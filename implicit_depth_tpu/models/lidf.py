@@ -186,6 +186,8 @@ class LIDFModel(nn.Module):
     use_pallas_decode: bool = False  # fused TPU kernel for the pair decode
     decode_rays_per_tile: int = 128  # kernel tile (rays); vmem_limit raise in
                                      # the kernel covers rows>512 (measured best)
+    decode_bwd: str = "xla"          # fused-kernel backward: 'xla' recompute
+                                     # under jax.vjp | 'kernel' fused Pallas
     remat_backbone: bool = False  # jax.checkpoint the ResNet (trade FLOPs for HBM)
     dtype: Any = jnp.float32
 
@@ -289,7 +291,8 @@ class LIDFModel(nn.Module):
                 pair_vox.astype(self.dtype), pos, ray_feat.astype(self.dtype),
                 self._decoder_weights(), kb, self.multires, self.n_iter, 0.001,
                 self.use_sigmoid, self.dtype, self.decode_rays_per_tile,
-                jax.default_backend() != "tpu")  # interpret off-TPU
+                jax.default_backend() != "tpu",  # interpret off-TPU
+                self.decode_bwd)
         else:
             off, logit = xla_ray_decode(
                 pair_vox.astype(self.dtype), pos, ray_feat.astype(self.dtype),

@@ -23,10 +23,12 @@ Embedding layout parity (pipeline.py:431-433): the logical embed is
 passes full layer-1 matrices and ``split_l1`` reorders rows into the
 pair/ray parts — a pure reindexing, numerically identical.
 
-Training: ``fused_ray_decode`` ships a custom VJP whose backward re-runs the
-identical-math XLA path (``xla_ray_decode``) under ``jax.vjp`` — exact
-gradients, kernel-fast forward. (A fused backward kernel is a further step;
-the forward is where the eval/serving FLOPs are.)
+Training: ``fused_ray_decode`` ships a custom VJP with two backends
+(``bwd_impl``): 'xla' re-runs the identical-math XLA path under ``jax.vjp``
+(exact grads, pays one XLA forward), 'kernel' runs the fused backward
+kernel — per-tile forward recompute in VMEM (activations never touch HBM)
+followed by backprop of both MLPs, with weight-grad accumulators held in
+constant-index VMEM output blocks across the sequential grid.
 """
 
 from __future__ import annotations
@@ -199,13 +201,18 @@ def xla_ray_decode(pair_vox: jnp.ndarray, pos: jnp.ndarray,
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
+                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12))
 def fused_ray_decode(pair_vox, pos, ray_feat, weights,
                      kb, multires=8, n_iter=2, init_offset=0.001,
                      use_sigmoid=False, dtype=jnp.bfloat16,
-                     rays_per_tile=256, interpret=False):
+                     rays_per_tile=256, interpret=False, bwd_impl="xla"):
     """(N·kb, Cv) pair features + (N, Cr) ray features -> per-pair
-    (offset (N·kb,), prob_logit (N·kb,)), both f32. See module docstring."""
+    (offset (N·kb,), prob_logit (N·kb,)), both f32. See module docstring.
+
+    ``bwd_impl``: 'xla' re-runs the identical-math XLA path under jax.vjp in
+    the backward (exact, but pays a full XLA forward); 'kernel' runs the
+    fused backward kernel (per-tile forward recompute in VMEM + backprop,
+    weight-grad accumulators VMEM-resident across the grid)."""
     return _fused_fwd_impl(pair_vox, pos, ray_feat, weights, kb, multires,
                            n_iter, init_offset, use_sigmoid, dtype,
                            rays_per_tile, interpret)
@@ -372,7 +379,8 @@ fused_ray_decode_onehot.defvjp(_onehot_fwd, _onehot_bwd)
 
 
 def _fused_fwd(pair_vox, pos, ray_feat, weights, kb, multires, n_iter,
-               init_offset, use_sigmoid, dtype, rays_per_tile, interpret):
+               init_offset, use_sigmoid, dtype, rays_per_tile, interpret,
+               bwd_impl):
     out = _fused_fwd_impl(pair_vox, pos, ray_feat, weights, kb, multires,
                           n_iter, init_offset, use_sigmoid, dtype,
                           rays_per_tile, interpret)
@@ -380,10 +388,16 @@ def _fused_fwd(pair_vox, pos, ray_feat, weights, kb, multires, n_iter,
 
 
 def _fused_bwd(kb, multires, n_iter, init_offset, use_sigmoid, dtype,
-               rays_per_tile, interpret, res, g):
-    """Backward: exact grads by re-running the identical-math XLA path under
-    jax.vjp (recompute ≙ rematerialization — nothing saved from the kernel)."""
+               rays_per_tile, interpret, bwd_impl, res, g):
+    """Backward. 'xla': exact grads by re-running the identical-math XLA
+    path under jax.vjp (recompute ≙ rematerialization — nothing saved from
+    the kernel). 'kernel': fused backward kernel (_fused_bwd_impl)."""
     pair_vox, pos, ray_feat, weights = res
+    if bwd_impl == "kernel":
+        d_pv, d_rf, d_w = _fused_bwd_impl(
+            pair_vox, pos, ray_feat, weights, g[0], g[1], kb, multires,
+            n_iter, init_offset, use_sigmoid, dtype, rays_per_tile, interpret)
+        return d_pv, jnp.zeros_like(pos), d_rf, d_w
     _, vjp = jax.vjp(
         lambda pv, rf, ws: xla_ray_decode(
             pv, pos, rf, ws, kb=kb, multires=multires, n_iter=n_iter,
@@ -396,3 +410,253 @@ def _fused_bwd(kb, multires, n_iter, init_offset, use_sigmoid, dtype,
 
 
 fused_ray_decode.defvjp(_fused_fwd, _fused_bwd)
+
+
+def _fused_bwd_impl(pair_vox, pos, ray_feat, weights, g_off, g_logit,
+                    kb, multires, n_iter, init_offset, use_sigmoid, dtype,
+                    rays_per_tile, interpret):
+    """Fused backward kernel: per tile, recompute the forward in VMEM
+    (activations never touch HBM — for the production shapes h1 alone would
+    be ~330 MB), then backprop both MLPs. Weight-gradient accumulators use
+    constant-index output blocks that stay VMEM-resident across the
+    sequential grid ('arbitrary' semantics) and flush once at the end.
+
+    Returns (d_pair_vox, d_ray_feat, d_weights) with d_weights in the
+    original (unsplit) pipeline layout.
+    """
+    n_rows, c_vox = pair_vox.shape
+    n_rays, c_ray = ray_feat.shape
+    c_pos = 6 * (1 + 2 * multires)
+    c_roi, c_dir = c_ray - 27, 27
+    cp = c_vox + c_pos
+    w = _prep_weights(weights, c_vox, c_roi, c_pos, c_dir, dtype)
+    g = weights["off_w1"].shape[1]
+    g2, g3 = weights["off_w2"].shape[1], weights["off_w3"].shape[1]
+
+    t = rays_per_tile
+    pad_rays = (-n_rays) % t
+    if pad_rays:
+        ray_feat = jnp.pad(ray_feat, ((0, pad_rays), (0, 0)))
+        pos = jnp.pad(pos, ((0, pad_rays * kb), (0, 0)))
+        pair_vox = jnp.pad(pair_vox, ((0, pad_rays * kb), (0, 0)))
+        g_off = jnp.pad(g_off, (0, pad_rays * kb))
+        g_logit = jnp.pad(g_logit, (0, pad_rays * kb))
+    n_tiles = (n_rays + pad_rays) // t
+    rows_t = t * kb
+
+    wkeys = sorted(w)
+    warrs = [jnp.atleast_2d(w[k]) for k in wkeys]
+
+    # (name, shape) of the weight-grad accumulators, in output order
+    acc_shapes = [
+        ("offp", (cp, g)), ("offr", (c_ray, g)),
+        ("probp", (cp, g)), ("probr", (c_ray, g)),
+        ("offb1", (1, g)), ("probb1", (1, g)),
+        ("avec", (1, g)), ("cvec", (1, g)),
+        ("ow2", (g, g2)), ("ob2", (1, g2)),
+        ("ow3", (g2, g3)), ("ob3", (1, g3)),
+        ("ow4", (g3, 1)), ("ob4", (1, 1)),
+        ("pw2", (g, g2)), ("pb2", (1, g2)),
+        ("pw3", (g2, g3)), ("pb3", (1, g3)),
+        ("pw4", (g3, 1)), ("pb4", (1, 1)),
+    ]
+
+    act = lambda v: jnp.where(v > 0, v, LEAKY * v)
+    # d * lrelu'(z), with h = lrelu(z) (same sign as z). Written as a
+    # two-operand select — Mosaic rejects the splat-constant mask form
+    # ("Invalid relayout ... replicated in destination" on the i1 vector) —
+    # and compares in f32 (bf16 vector cmpf: "Target does not support this
+    # comparison")
+    dlrelu = lambda h, d: jnp.where(h.astype(jnp.float32) > 0, d, LEAKY * d)
+
+    def dsq(x, d):  # d * squash'(x) at pre-squash x
+        if use_sigmoid:
+            s = jax.nn.sigmoid(x)
+            return d * s * (1 - s)
+        return jnp.where((x > 0) & (x < 1), d, 0.01 * d)
+
+    def kernel(vox_ref, pos_ref, ray_ref, goff_ref, glogit_ref, *rest):
+        wrefs = rest[:len(wkeys)]
+        outs = rest[len(wkeys):]
+        dvox_ref, dray_ref = outs[0], outs[1]
+        acc_refs = dict(zip([n for n, _ in acc_shapes], outs[2:]))
+        wd = {k: (r[0] if w[k].ndim == 1 else r[:])
+              for k, r in zip(wkeys, wrefs)}
+        dot = lambda a, b: jax.lax.dot_general(
+            a.astype(dtype), b.astype(dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # a (rows, m), b (rows, n) -> (m, n): contract over rows
+        dot_tn = lambda a, b: jax.lax.dot_general(
+            a.astype(dtype), b.astype(dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # d (rows, n) @ w^T for w (m, n) -> (rows, m)
+        dot_nt = lambda d, ww: jax.lax.dot_general(
+            d.astype(dtype), ww.astype(dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        csum = lambda d: jnp.sum(d, axis=0, keepdims=True)
+
+        # ---- forward recompute, keeping activations ----------------------
+        pair_vox_t = vox_ref[:].astype(dtype)
+        ray_rows = ray_ref[:]
+        pe = _posenc_pair(pos_ref[:], wd["pe_smat"], wd["pe_phase"], dtype)
+        pair_in = jnp.concatenate([pair_vox_t, pe], axis=-1)
+        ray_e1_off = dot(ray_rows, wd["offr_w1"])
+        ray_e1_prob = dot(ray_rows, wd["probr_w1"])
+
+        def bcast(ray_part):
+            return jnp.broadcast_to(
+                ray_part.reshape(t, 1, ray_part.shape[1]),
+                (t, kb, ray_part.shape[1])).reshape(rows_t, ray_part.shape[1])
+
+        e1_off = (dot(pair_in, wd["offp_w1"]) + bcast(ray_e1_off)
+                  + wd["off_b1"])
+        a_vec = dot(wd["off_enc_w"], wd["offx_w1"])            # (1, g)
+        c_vec = dot(wd["off_enc_b"][None, :], wd["offx_w1"])[0]
+        offset = jnp.full((rows_t, 1), init_offset, jnp.float32)
+        saved = []
+        for _ in range(n_iter):
+            h1 = act(e1_off + offset * a_vec + c_vec).astype(dtype)
+            h2 = act(dot(h1, wd["off_w2"]) + wd["off_b2"].astype(dtype))
+            h3 = act(dot(h2, wd["off_w3"]) + wd["off_b3"].astype(dtype))
+            saved.append((offset, h1, h2, h3))
+            offset = offset + dot(h3, wd["off_w4"]) + wd["off_b4"]
+
+        h1p = act(dot(pair_in, wd["probp_w1"]) + bcast(ray_e1_prob)
+                  + wd["prob_b1"]).astype(dtype)
+        h2p = act(dot(h1p, wd["prob_w2"]) + wd["prob_b2"].astype(dtype))
+        h3p = act(dot(h2p, wd["prob_w3"]) + wd["prob_b3"].astype(dtype))
+        logit = dot(h3p, wd["prob_w4"]) + wd["prob_b4"]
+
+        # ---- backward ----------------------------------------------------
+        acc = {}
+
+        def add(name, val):
+            acc[name] = acc.get(name, 0) + val
+
+        d_offset = dsq(offset, goff_ref[:])                    # (rows, 1)
+        d_e1_off = jnp.zeros((rows_t, g), jnp.float32)
+        for i in range(n_iter - 1, -1, -1):
+            off_i, h1, h2, h3 = saved[i]
+            add("ow4", dot_tn(h3, d_offset))
+            add("ob4", csum(d_offset))
+            d_h3 = dot_nt(d_offset, wd["off_w4"])
+            d_t3 = dlrelu(h3, d_h3)
+            add("ow3", dot_tn(h2, d_t3))
+            add("ob3", csum(d_t3))
+            d_h2 = dot_nt(d_t3, wd["off_w3"])
+            d_t2 = dlrelu(h2, d_h2)
+            add("ow2", dot_tn(h1, d_t2))
+            add("ob2", csum(d_t2))
+            d_h1 = dot_nt(d_t2, wd["off_w2"])
+            d_z1 = dlrelu(h1, d_h1)
+            d_e1_off = d_e1_off + d_z1
+            add("avec", csum(d_z1 * off_i))
+            add("cvec", csum(d_z1))
+            d_offset = d_offset + jnp.sum(d_z1 * a_vec, axis=1, keepdims=True)
+
+        d_logit = dsq(logit, glogit_ref[:])
+        add("pw4", dot_tn(h3p, d_logit))
+        add("pb4", csum(d_logit))
+        d_h3p = dot_nt(d_logit, wd["prob_w4"])
+        d_t3p = dlrelu(h3p, d_h3p)
+        add("pw3", dot_tn(h2p, d_t3p))
+        add("pb3", csum(d_t3p))
+        d_h2p = dot_nt(d_t3p, wd["prob_w3"])
+        d_t2p = dlrelu(h2p, d_h2p)
+        add("pw2", dot_tn(h1p, d_t2p))
+        add("pb2", csum(d_t2p))
+        d_h1p = dot_nt(d_t2p, wd["prob_w2"])
+        d_z1p = dlrelu(h1p, d_h1p)
+
+        add("offp", dot_tn(pair_in, d_e1_off))
+        add("offb1", csum(d_e1_off))
+        add("probp", dot_tn(pair_in, d_z1p))
+        add("probb1", csum(d_z1p))
+        d_re_off = jnp.sum(d_e1_off.reshape(t, kb, g), axis=1)   # (t, g)
+        d_re_prob = jnp.sum(d_z1p.reshape(t, kb, g), axis=1)
+        add("offr", dot_tn(ray_rows, d_re_off))
+        add("probr", dot_tn(ray_rows, d_re_prob))
+
+        dvox_ref[:] = (dot_nt(d_e1_off, wd["offp_w1"][:c_vox])
+                       + dot_nt(d_z1p, wd["probp_w1"][:c_vox]))
+        dray_ref[:] = (dot_nt(d_re_off, wd["offr_w1"])
+                       + dot_nt(d_re_prob, wd["probr_w1"]))
+
+        first = pl.program_id(0) == 0
+        for name, _ in acc_shapes:
+            ref = acc_refs[name]
+
+            @pl.when(first)
+            def _(ref=ref):
+                ref[...] = jnp.zeros(ref.shape, ref.dtype)
+
+            ref[...] += acc[name]
+
+    row_spec = lambda c: pl.BlockSpec((rows_t, c), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM)
+    w_specs = [pl.BlockSpec(a.shape, lambda i: (0, 0),
+                            memory_space=pltpu.VMEM) for a in warrs]
+    acc_specs = [pl.BlockSpec(s, lambda i: (0, 0), memory_space=pltpu.VMEM)
+                 for _, s in acc_shapes]
+    acc_out_shapes = [jax.ShapeDtypeStruct(s, jnp.float32)
+                      for _, s in acc_shapes]
+
+    n_pad_rows = (n_rays + pad_rays) * kb
+    mlp_flops = 2 * (n_rays + pad_rays) * (
+        kb * (cp * g * 2 + (n_iter + 1) * (g * g2 + g2 * g3 + g3))
+        + c_ray * g * 2)
+    vmem_limit = min(int(rows_t * 64 * 1024 + 24 * 2 ** 20), 128 * 2 ** 20)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[row_spec(c_vox), row_spec(8),
+                  pl.BlockSpec((t, c_ray), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  row_spec(1), row_spec(1), *w_specs],
+        out_specs=(row_spec(c_vox),
+                   pl.BlockSpec((t, c_ray), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   *acc_specs),
+        out_shape=(jax.ShapeDtypeStruct((n_pad_rows, c_vox), jnp.float32),
+                   jax.ShapeDtypeStruct((n_rays + pad_rays, c_ray),
+                                        jnp.float32),
+                   *acc_out_shapes),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=vmem_limit),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * mlp_flops,
+            bytes_accessed=n_pad_rows * (c_vox * 6 + 40),
+            transcendentals=n_pad_rows * 12 * multires),
+        interpret=interpret,
+    )(pair_vox, pos, ray_feat, g_off[:, None].astype(jnp.float32),
+      g_logit[:, None].astype(jnp.float32), *warrs)
+
+    d_vox_rows, d_ray_rows = outs[0], outs[1]
+    da = dict(zip([n for n, _ in acc_shapes], outs[2:]))
+
+    # ---- reassemble original-layout weight grads -------------------------
+    offx = jnp.asarray(w["offx_w1"], jnp.float32)
+    enc_w = weights["off_enc_w"].astype(jnp.float32)
+    enc_b = weights["off_enc_b"].astype(jnp.float32)
+    d_offx = enc_w.T @ da["avec"] + enc_b[:, None] @ da["cvec"]
+    unsplit = lambda d_pair, d_ray, extra: jnp.concatenate(
+        [d_pair[:c_vox], d_ray[:c_roi], d_pair[c_vox:cp], d_ray[c_roi:]]
+        + ([extra] if extra is not None else []), axis=0)
+    d_w = {
+        "off_w1": unsplit(da["offp"], da["offr"], d_offx),
+        "off_b1": da["offb1"][0],
+        "off_w2": da["ow2"], "off_b2": da["ob2"][0],
+        "off_w3": da["ow3"], "off_b3": da["ob3"][0],
+        "off_w4": da["ow4"], "off_b4": da["ob4"][0],
+        "prob_w1": unsplit(da["probp"], da["probr"], None),
+        "prob_b1": da["probb1"][0],
+        "prob_w2": da["pw2"], "prob_b2": da["pb2"][0],
+        "prob_w3": da["pw3"], "prob_b3": da["pb3"][0],
+        "prob_w4": da["pw4"], "prob_b4": da["pb4"][0],
+        "off_enc_w": da["avec"] @ offx.T,
+        "off_enc_b": (da["cvec"] @ offx.T)[0],
+    }
+    d_w = {k: v.astype(weights[k].dtype) for k, v in d_w.items()}
+    return (d_vox_rows[:n_rows].astype(pair_vox.dtype),
+            d_ray_rows[:n_rays].astype(ray_feat.dtype), d_w)

@@ -25,21 +25,23 @@ from implicit_depth_tpu.utils.profiling import device_slope_time
 H, W, BS = 240, 320, 4
 
 VARIANTS = {
-    # name: (pairs_budget, mode, use_pallas)
-    "global_xla": (8, "global", False),
-    "per_ray_xla": (8, "per_ray", False),
-    "per_ray_pallas": (8, "per_ray", True),
-    "per_ray4_pallas": (4, "per_ray", True),
-    "dense_xla": (0, "per_ray", False),
+    # name: (pairs_budget, mode, use_pallas, decode_bwd)
+    "global_xla": (8, "global", False, "xla"),
+    "per_ray_xla": (8, "per_ray", False, "xla"),
+    "per_ray_pallas": (8, "per_ray", True, "xla"),
+    "per_ray_pallas_kbwd": (8, "per_ray", True, "kernel"),
+    "per_ray4_pallas": (4, "per_ray", True, "xla"),
+    "dense_xla": (0, "per_ray", False, "xla"),
 }
 
 
-def build(budget, mode, pallas):
+def build(budget, mode, pallas, decode_bwd="xla"):
     cfg = load_config(overrides={
         "mask_type": "all",
         "dataset": {"img_height": H, "img_width": W},
         "tpu": {"compute_dtype": "bfloat16", "pairs_budget_per_ray": budget,
-                "pairs_budget_mode": mode, "use_pallas_decode": pallas},
+                "pairs_budget_mode": mode, "use_pallas_decode": pallas,
+                "decode_bwd": decode_bwd},
     })
     static = build_static(cfg)
     return cfg, static, build_lidf(cfg, static)
@@ -56,8 +58,8 @@ def main():
     batch = {k: jnp.asarray(v) for k, v in raw.items()}
 
     for name in args.variants.split(","):
-        budget, mode, pallas = VARIANTS[name]
-        cfg, static, model = build(budget, mode, pallas)
+        budget, mode, pallas, decode_bwd = VARIANTS[name]
+        cfg, static, model = build(budget, mode, pallas, decode_bwd)
         prep = jax.jit(lambda b, kk: prepare_inputs(static, b, kk, train=True))
         inputs = prep(batch, jax.random.key(0))
         variables = jax.jit(lambda kk, i: model.init(

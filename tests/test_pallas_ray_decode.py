@@ -141,6 +141,50 @@ def test_onehot_variant_matches_gathered(data):
     assert np.isfinite(np.asarray(gt)).all() and np.abs(np.asarray(gt)).sum() > 0
 
 
+def test_bwd_kernel_grads_match_xla(data):
+    """Fused backward kernel (per-tile recompute + VMEM weight-grad
+    accumulators) ≡ differentiating the XLA oracle. 96 rays / 32-ray tiles
+    exercises multi-tile accumulation; 70 rays exercises padded tiles."""
+    pair_vox, pos, ray_feat, w = data
+
+    for n in (N_RAYS, 70):
+        pv, po, rf = pair_vox[:n * KB], pos[:n * KB], ray_feat[:n]
+
+        def loss_kernel(pv_, rf_, ws):
+            off, logit = fused_ray_decode(pv_, po, rf_, ws, KB, 8, 2, 0.001,
+                                          False, jnp.float32, 32, True,
+                                          "kernel")
+            return jnp.sum(off * 1.3 + logit * 0.7)
+
+        def loss_xla(pv_, rf_, ws):
+            off, logit = xla_ray_decode(pv_, po, rf_, ws, kb=KB,
+                                        dtype=jnp.float32)
+            return jnp.sum(off * 1.3 + logit * 0.7)
+
+        g_k = jax.grad(loss_kernel, argnums=(0, 1, 2))(pv, rf, w)
+        g_x = jax.grad(loss_xla, argnums=(0, 1, 2))(pv, rf, w)
+        for a, b in zip(jax.tree.leaves(g_k), jax.tree.leaves(g_x)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=2e-5)
+
+
+def test_bwd_kernel_sigmoid_squash(data):
+    """use_sigmoid=True derivative path in the fused backward."""
+    pair_vox, pos, ray_feat, w = data
+
+    def loss(impl):
+        def f(ws):
+            off, logit = fused_ray_decode(pair_vox, pos, ray_feat, ws, KB, 8,
+                                          2, 0.001, True, jnp.float32, 32,
+                                          True, impl)
+            return jnp.sum(off - 2 * logit)
+        return jax.grad(f)(w)
+
+    for a, b in zip(jax.tree.leaves(loss("kernel")), jax.tree.leaves(loss("xla"))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=2e-5)
+
+
 def test_custom_vjp_grads_match_xla(data):
     """Backward (XLA recompute) must equal differentiating the oracle."""
     pair_vox, pos, ray_feat, w = data
