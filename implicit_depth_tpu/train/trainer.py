@@ -44,6 +44,9 @@ from implicit_depth_tpu.train.steps import (
 VALID_SPLITS = (("cleargrasp_synthetic", "known"), ("cleargrasp_synthetic", "novel"),
                 ("cleargrasp_real", "known"), ("cleargrasp_real", "novel"))
 
+_LIDF_LOG_KEYS = ("loss_net", "pos_loss", "prob_loss", "acc", "err")
+_REFINE_LOG_KEYS = ("loss_net", "pos_loss", "err")
+
 
 def auto_log_name(cfg: Config, stage: str) -> str:
     """≙ the reference's hyperparameter-encoding run name
@@ -169,6 +172,22 @@ class BaseTrainer:
         with open(self.epoch_log_path, "a") as f:
             f.write(json.dumps({"epoch": epoch, **record}) + "\n")
 
+    def _harvest_losses(self, epoch: int, pending, tag: str, log_keys) -> None:
+        """Read back one step's loss scalars. Called one step LATE (after the
+        next step has been dispatched): per-step ``float()`` readbacks are a
+        host⇄device round-trip each — through this image's remote-TPU relay
+        that is ≥25 ms of dead device time per scalar dict. A single delayed
+        ``device_get`` keeps the device pipeline full and fetches the dict in
+        one transfer."""
+        it, losses = pending
+        vals = {k: float(v) for k, v in jax.device_get(losses).items()}
+        self.meters.add(vals)
+        if self.is_main and it % self.cfg.training.log_interval == 0:
+            msg = " ".join(f"{k}={v:.4f}" for k, v in vals.items()
+                           if k in log_keys)
+            print(f"[{tag}] epoch {epoch} it {it}/{self.steps_per_epoch} {msg}",
+                  flush=True)
+
 
 class LIDFTrainer(BaseTrainer):
     """Stage 1 (≙ TrainLIDF)."""
@@ -241,6 +260,7 @@ class LIDFTrainer(BaseTrainer):
         cfg = self.cfg
         self.meters.reset()
         t_start = time.time()
+        pending = None
         for it, batch in enumerate(self.train_loader.epoch(epoch)):
             if cfg.debug and it >= 5:
                 break
@@ -248,14 +268,12 @@ class LIDFTrainer(BaseTrainer):
             batch = shard_batch(batch, self.mesh)
             self.state, losses = self.train_step(
                 self.state, batch, self._next_key(), jnp.asarray(epoch))
-            vals = {k: float(v) for k, v in losses.items()}
-            self.meters.add(vals)
-            if self.is_main and it % cfg.training.log_interval == 0:
-                msg = " ".join(f"{k}={v:.4f}" for k, v in vals.items()
-                               if k in ("loss_net", "pos_loss", "prob_loss", "acc", "err"))
-                print(f"[lidf] epoch {epoch} it {it}/{self.steps_per_epoch} {msg}",
-                      flush=True)
+            if pending is not None:  # harvest the PREVIOUS step (overlapped)
+                self._harvest_losses(epoch, pending, "lidf", _LIDF_LOG_KEYS)
+            pending = (it, losses)
             self._train_vis(epoch, it, batch)
+        if pending is not None:
+            self._harvest_losses(epoch, pending, "lidf", _LIDF_LOG_KEYS)
         means = self.meters.means()
         means["epoch_time_s"] = time.time() - t_start
         return means
@@ -430,6 +448,7 @@ class RefineTrainer(BaseTrainer):
         cfg = self.cfg
         self.meters.reset()
         t_start = time.time()
+        pending = None
         for it, batch in enumerate(self.train_loader.epoch(epoch)):
             if cfg.debug and it >= 5:
                 break
@@ -438,14 +457,12 @@ class RefineTrainer(BaseTrainer):
             self.state, losses = self.train_step(
                 self.state, self.lidf_variables, batch, self._next_key(),
                 jnp.asarray(epoch))
-            vals = {k: float(v) for k, v in losses.items()}
-            self.meters.add(vals)
-            if self.is_main and it % cfg.training.log_interval == 0:
-                msg = " ".join(f"{k}={v:.4f}" for k, v in vals.items()
-                               if k in ("loss_net", "pos_loss", "err"))
-                print(f"[refine] epoch {epoch} it {it}/{self.steps_per_epoch} {msg}",
-                      flush=True)
+            if pending is not None:  # harvest the PREVIOUS step (overlapped)
+                self._harvest_losses(epoch, pending, "refine", _REFINE_LOG_KEYS)
+            pending = (it, losses)
             self._train_vis(epoch, it, batch)
+        if pending is not None:
+            self._harvest_losses(epoch, pending, "refine", _REFINE_LOG_KEYS)
         means = self.meters.means()
         means["epoch_time_s"] = time.time() - t_start
         return means
