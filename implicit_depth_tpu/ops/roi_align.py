@@ -123,12 +123,21 @@ def roi_window_pool(feat: jnp.ndarray, pix_xy: jnp.ndarray, pix_batch: jnp.ndarr
     pooled = jnp.einsum("wq,bpwc->bpqc", band(w), row)  # (B, ph, pw, C)
     ph, pw = pooled.shape[1], pooled.shape[2]
 
+    # Pack the out×out window corners channel-wise so each ray needs ONE
+    # gather of a (out²·C)-channel row (full 128 lanes at C=32) instead of
+    # out² gathers of C-channel rows — TPU row-gathers cost per row, and
+    # narrow rows idle 3/4 of the lanes. The shifts are static slices.
+    ph2, pw2 = ph - win * (out_bbox - 1), pw - win * (out_bbox - 1)
+    corners = [pooled[:, dy:dy + ph2, dx:dx + pw2]
+               for dy in range(0, out_bbox * win, win)
+               for dx in range(0, out_bbox * win, win)]
+    packed = jnp.concatenate(corners, axis=-1)          # (B, ph2, pw2, out²·C)
+
     px = jnp.clip(pix_xy[..., 0], half, w - half)                 # shifted-inside window
     py = jnp.clip(pix_xy[..., 1], half, h - half)
-    oy = jnp.arange(out_bbox, dtype=jnp.int32) * win
-    gy = jnp.clip(py[..., None] - half + oy, 0, ph - 1)           # (..., out)
-    gx = jnp.clip(px[..., None] - half + oy, 0, pw - 1)
+    gy = jnp.clip(py - half, 0, ph2 - 1)
+    gx = jnp.clip(px - half, 0, pw2 - 1)
 
-    flat = pooled.reshape(b * ph * pw, c)
-    lin = ((pix_batch[..., None, None] * ph + gy[..., :, None]) * pw + gx[..., None, :])
-    return flat[lin]
+    flat = packed.reshape(b * ph2 * pw2, out_bbox * out_bbox * c)
+    lin = (pix_batch * ph2 + gy) * pw2 + gx
+    return flat[lin].reshape(*pix_xy.shape[:-1], out_bbox, out_bbox, c)
