@@ -395,6 +395,12 @@ class SyntheticDataset:
     """Procedural scenes (data/synthetic.py) exposed with the same API —
     lets train/eval/bench run without the real datasets on disk."""
 
+    # xyz / xyz_corrupt are EXACTLY compute_xyz(depth[_corrupt]) — the packed
+    # device feed (train/feed.py) may skip transferring them and re-derive on
+    # device. Real datasets add GP xyz-noise or resize after back-projection,
+    # so they do not set this.
+    xyz_from_depth = True
+
     def __init__(self, length: int, params: Dict, base_seed: int = 0):
         from implicit_depth_tpu.data.synthetic import synthetic_sample
         self._gen = synthetic_sample

@@ -1,0 +1,212 @@
+"""Packed host→device batch feed.
+
+Motivation (measured on this image's remote-TPU relay, BASELINE.md): a
+host→device transfer costs ~20 ms per ``device_put`` CALL plus ~8 ms/MB of
+payload, and the call blocks the host. Feeding the raw batch dict is ~10
+calls × ~16 MB ≈ 300 ms of dead host time per train step — 6× the 48 ms
+device step. Three fixes, composed here:
+
+1. **Pack**: the whole batch ships as ONE uint8 buffer (an f32 section for
+   precision-critical depth/xyz/intrinsics + an f16 section for rgb and the
+   {0,1} masks — exact in f16; rgb is cast to bf16 by the model anyway),
+   bitcast back apart on device, so the per-call overhead is paid once, not
+   ten times.
+2. **Derive**: when the dataset's ``xyz`` / ``xyz_corrupt`` are exactly the
+   pinhole back-projection of its depth maps (``SyntheticDataset`` sets
+   ``xyz_from_depth = True``; real datasets with GP xyz-noise or
+   full-res-then-resize quirks do not), the 7.4 MB of xyz payload is NOT
+   transferred — it is recomputed on device inside the unpack jit
+   (geometry/camera.compute_xyz).
+3. **Prefetch**: ``DeviceFeeder`` runs pack+put on a background thread, one
+   batch deep, so the transfer of batch i+1 rides under the device compute
+   of batch i.
+
+On real (PCIe-attached) TPU hosts the constants are smaller but the shape of
+the win is the same; on multi-host slices the byte reduction also applies to
+the NIC feed path.
+"""
+
+from __future__ import annotations
+
+import functools
+import queue
+import threading
+from typing import Any, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from implicit_depth_tpu.geometry.camera import compute_xyz
+
+_SCALAR_KEYS = ("fx", "fy", "cx", "cy")
+
+
+def _is_f16_safe(key: str) -> bool:
+    # rgb is standardized (|x| < 3) and re-cast to the compute dtype by the
+    # model; masks are {0,1} — all exactly or harmlessly representable in f16
+    return key == "rgb" or key.endswith("mask")
+
+
+def pack_batch(batch: Dict[str, np.ndarray], derive_xyz: bool = False
+               ) -> Tuple[np.ndarray, np.ndarray, Tuple]:
+    """Split a host batch into (f32_payload, f16_payload, spec).
+
+    f32 payload: (B, n32 + 4) — per-pixel f32 keys flattened column-wise,
+    with the four intrinsics scalars appended as trailing columns.
+    f16 payload: (B, n16) — rgb + masks.
+    ``spec`` is a hashable description consumed by :func:`unpack_batch`.
+    """
+    b = batch["depth"].shape[0]
+    h, w = batch["depth"].shape[1:3]
+    f32_keys, f16_keys = [], []
+    for k in sorted(batch):
+        if k in _SCALAR_KEYS or not isinstance(batch[k], np.ndarray) \
+                or batch[k].ndim < 3:
+            continue
+        if derive_xyz and k in ("xyz", "xyz_corrupt"):
+            continue
+        (f16_keys if _is_f16_safe(k) else f32_keys).append(k)
+
+    def cols(keys, dtype):
+        if not keys:
+            return np.zeros((b, 0), dtype), ()
+        flat = [np.ascontiguousarray(batch[k], np.float32).reshape(b, -1)
+                for k in keys]
+        shapes = tuple((k, batch[k].shape[1:]) for k in keys)
+        return np.concatenate(flat, axis=1).astype(dtype), shapes
+
+    f32_pay, f32_shapes = cols(f32_keys, np.float32)
+    f16_pay, f16_shapes = cols(f16_keys, np.float16)
+    scal = np.stack([np.asarray(batch[k], np.float32).reshape(b)
+                     for k in _SCALAR_KEYS], axis=1)        # (B, 4)
+    f32_pay = np.concatenate([f32_pay, scal], axis=1)
+    spec = (f32_shapes, f16_shapes, (h, w), bool(derive_xyz))
+    return f32_pay, f16_pay, spec
+
+
+def fuse_bytes(f32_pay: np.ndarray, f16_pay: np.ndarray) -> np.ndarray:
+    """Concatenate both payloads into ONE uint8 buffer per batch row.
+
+    Through this image's remote-TPU relay a device_put issued while compute
+    is queued pays a ~40 ms serialization penalty PER CALL (measured,
+    BASELINE.md) — so the two typed payloads ship as a single transfer and
+    are bitcast back apart on device (exact: u8->f32/f16 bitcast roundtrips
+    verified on the real chip)."""
+    b = f32_pay.shape[0]
+    return np.concatenate([f32_pay.view(np.uint8).reshape(b, -1),
+                           f16_pay.view(np.uint8).reshape(b, -1)], axis=1)
+
+
+@functools.lru_cache(maxsize=32)
+def _unpack_fn(spec: Tuple):
+    f32_shapes, f16_shapes, (h, w), derive_xyz = spec
+    n32 = sum(int(np.prod(shp)) for _, shp in f32_shapes) + len(_SCALAR_KEYS)
+    n16 = sum(int(np.prod(shp)) for _, shp in f16_shapes)
+
+    def unpack(buf: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        b = buf.shape[0]
+        f32_pay = jax.lax.bitcast_convert_type(
+            buf[:, :4 * n32].reshape(b, n32, 4), jnp.float32)
+        if n16:
+            f16_pay = jax.lax.bitcast_convert_type(
+                buf[:, 4 * n32:].reshape(b, n16, 2), jnp.float16)
+        else:
+            f16_pay = jnp.zeros((b, 0), jnp.float16)
+        out: Dict[str, jnp.ndarray] = {}
+        c = 0
+        for k, shp in f32_shapes:
+            n = int(np.prod(shp))
+            out[k] = f32_pay[:, c:c + n].reshape(b, *shp)
+            c += n
+        for i, k in enumerate(_SCALAR_KEYS):
+            out[k] = f32_pay[:, c + i]
+        c = 0
+        for k, shp in f16_shapes:
+            n = int(np.prod(shp))
+            out[k] = f16_pay[:, c:c + n].reshape(b, *shp).astype(jnp.float32)
+            c += n
+        if derive_xyz:
+            out["xyz"] = compute_xyz(out["depth"], out["fx"], out["fy"],
+                                     out["cx"], out["cy"])
+            out["xyz_corrupt"] = compute_xyz(out["depth_corrupt"], out["fx"],
+                                             out["fy"], out["cx"], out["cy"])
+        return out
+
+    return jax.jit(unpack)
+
+
+def put_batch(batch: Dict[str, Any], mesh: Optional[Mesh] = None,
+              axis: Optional[str] = "data",
+              derive_xyz: bool = False) -> Dict[str, jnp.ndarray]:
+    """Pack + transfer (ONE device_put call) + on-device unpack.
+
+    ``axis=None`` (or no mesh) replicates instead of sharding — the eval
+    path. Non-array entries (``item_path``) pass through on the host."""
+    arrays = {k: v for k, v in batch.items()
+              if isinstance(v, (np.ndarray, jnp.ndarray)) or np.isscalar(v)}
+    rest = {k: v for k, v in batch.items() if k not in arrays}
+    arrays = {k: np.asarray(v) for k, v in arrays.items()}
+    f32_pay, f16_pay, spec = pack_batch(arrays, derive_xyz)
+    buf = fuse_bytes(f32_pay, f16_pay)
+    if mesh is not None:
+        buf = jax.device_put(buf, NamedSharding(mesh, P(axis) if axis else P()))
+    out = dict(_unpack_fn(spec)(buf))
+    # keys the pack skipped (non-pixel arrays, e.g. nothing today) + host rest
+    for k, v in arrays.items():
+        if k not in out and k not in _SCALAR_KEYS and k not in (
+                "xyz", "xyz_corrupt"):
+            dv = jax.device_put(v, NamedSharding(mesh, P())) if mesh else v
+            out[k] = dv
+    out.update(rest)
+    return out
+
+
+class DeviceFeeder:
+    """Wraps a DataLoader epoch with a one-deep background pack+put thread:
+    the (host-blocking) transfer of batch i+1 overlaps the device compute of
+    batch i."""
+
+    def __init__(self, loader, mesh: Optional[Mesh], axis: Optional[str] = "data",
+                 depth: int = 2):
+        self.loader = loader
+        self.mesh = mesh
+        self.axis = axis
+        self.depth = depth
+        self.derive_xyz = bool(getattr(
+            getattr(loader, "dataset", None), "xyz_from_depth", False))
+
+    def epoch(self, epoch: int = 0) -> Iterator[Dict[str, jnp.ndarray]]:
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        stop = threading.Event()
+
+        def work():
+            try:
+                for batch in self.loader.epoch(epoch):
+                    if stop.is_set():
+                        return
+                    q.put(put_batch(batch, self.mesh, self.axis,
+                                    self.derive_xyz))
+                q.put(None)
+            except BaseException as e:  # surface loader errors to the consumer
+                q.put(e)
+
+        t = threading.Thread(target=work, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            # drain so the worker's blocked put() wakes and sees stop
+            while not q.empty():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break

@@ -26,7 +26,8 @@ from implicit_depth_tpu.config import Config
 from implicit_depth_tpu.data.datasets import get_dataset
 from implicit_depth_tpu.data.loader import DataLoader
 from implicit_depth_tpu.models.lidf import prepare_inputs
-from implicit_depth_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from implicit_depth_tpu.parallel.mesh import make_mesh, replicate
+from implicit_depth_tpu.train.feed import DeviceFeeder, put_batch
 from implicit_depth_tpu.train.checkpoint import Checkpointer, restore_params_only
 from implicit_depth_tpu.train.metrics import (
     MeterBank,
@@ -172,6 +173,21 @@ class BaseTrainer:
         with open(self.epoch_log_path, "a") as f:
             f.write(json.dumps({"epoch": epoch, **record}) + "\n")
 
+    def _train_feed(self, epoch: int):
+        """Packed, background-threaded host→device feed (train/feed.py):
+        ONE device_put per batch instead of ~10, xyz derived on device when
+        the dataset allows, pack work overlapped with the device step."""
+        if not hasattr(self, "_feeder"):
+            self._feeder = DeviceFeeder(self.train_loader, self.mesh, "data")
+        return self._feeder.epoch(epoch)
+
+    def _eval_put(self, batch, loader):
+        """Replicated device copy of an eval batch via the packed path; the
+        host ``batch`` stays available for metric/CSV/vis work."""
+        derive = bool(getattr(loader.dataset, "xyz_from_depth", False))
+        return put_batch({k: v for k, v in batch.items() if k != "item_path"},
+                         self.mesh, axis=None, derive_xyz=derive)
+
     def _harvest_losses(self, epoch: int, pending, tag: str, log_keys) -> None:
         """Read back one step's loss scalars. Called one step LATE (after the
         next step has been dispatched): per-step ``float()`` readbacks are a
@@ -261,11 +277,10 @@ class LIDFTrainer(BaseTrainer):
         self.meters.reset()
         t_start = time.time()
         pending = None
-        for it, batch in enumerate(self.train_loader.epoch(epoch)):
+        for it, batch in enumerate(self._train_feed(epoch)):
             if cfg.debug and it >= 5:
                 break
             batch.pop("item_path", None)
-            batch = shard_batch(batch, self.mesh)
             self.state, losses = self.train_step(
                 self.state, batch, self._next_key(), jnp.asarray(epoch))
             if pending is not None:  # harvest the PREVIOUS step (overlapped)
@@ -290,8 +305,7 @@ class LIDFTrainer(BaseTrainer):
                 if max_batches and it >= max_batches:
                     break
                 batch.pop("item_path", None)
-                jbatch = replicate({k: jnp.asarray(v) for k, v in batch.items()},
-                                   self.mesh)
+                jbatch = self._eval_put(batch, loader)
                 inputs, out, losses = self.eval_step(self.state, jbatch,
                                                      self._next_key())
                 bank.add({k: float(v) for k, v in losses.items()})
@@ -326,8 +340,7 @@ class LIDFTrainer(BaseTrainer):
             rows = []
             for it, batch in enumerate(loader.epoch(0)):
                 paths = batch.pop("item_path")
-                jbatch = replicate({k: jnp.asarray(v) for k, v in batch.items()},
-                                   self.mesh)
+                jbatch = self._eval_put(batch, loader)
                 inputs, out, _ = self.eval_step(self.state, jbatch, self._next_key())
                 if self.is_main and vis_iter and it % vis_iter == 0:
                     # ≙ test-time vis_cond2 (train_lidf.py:471-473)
@@ -449,11 +462,10 @@ class RefineTrainer(BaseTrainer):
         self.meters.reset()
         t_start = time.time()
         pending = None
-        for it, batch in enumerate(self.train_loader.epoch(epoch)):
+        for it, batch in enumerate(self._train_feed(epoch)):
             if cfg.debug and it >= 5:
                 break
             batch.pop("item_path", None)
-            batch = shard_batch(batch, self.mesh)
             self.state, losses = self.train_step(
                 self.state, self.lidf_variables, batch, self._next_key(),
                 jnp.asarray(epoch))
@@ -479,8 +491,7 @@ class RefineTrainer(BaseTrainer):
                 if max_batches and it >= max_batches:
                     break
                 batch.pop("item_path", None)
-                jbatch = replicate({k: jnp.asarray(v) for k, v in batch.items()},
-                                   self.mesh)
+                jbatch = self._eval_put(batch, loader)
                 inputs, lidf_out, pred, losses = self.eval_step(
                     self.state, self.lidf_variables, jbatch, self._next_key())
                 bank.add({k: float(v) for k, v in losses.items()})
@@ -516,8 +527,7 @@ class RefineTrainer(BaseTrainer):
             rows = []
             for it, batch in enumerate(loader.epoch(0)):
                 paths = batch.pop("item_path")
-                jbatch = replicate({k: jnp.asarray(v) for k, v in batch.items()},
-                                   self.mesh)
+                jbatch = self._eval_put(batch, loader)
                 inputs, _, pred, _ = self.eval_step(
                     self.state, self.lidf_variables, jbatch, self._next_key())
                 if self.is_main and vis_iter and it % vis_iter == 0:
