@@ -276,6 +276,10 @@ _DEFAULTS: Dict[str, Any] = {
         "sync_batchnorm": True,      # cross-replica BN moments over 'data'
         "remat_backbone": False,     # jax.checkpoint on the ResNet
         "eval_rays_per_chunk": 0,    # 0 => single shot
+        # optimizer steps executed per device call (lax.scan over a stacked
+        # feed buffer) — amortizes per-step host dispatch/transfer overhead;
+        # forced to 1 under cfg.debug or when train_vis_iter is set
+        "train_steps_per_call": 8,
     },
 }
 

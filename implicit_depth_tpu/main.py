@@ -48,6 +48,16 @@ def main(argv=None):
     if cfg.seed is not None:
         np.random.seed(cfg.seed)
 
+    # persistent compile cache by default: repeat shapes skip XLA compilation
+    # entirely (the remote-TPU backend included — measured minutes saved per
+    # jit). Env vars, when set, win.
+    import jax
+    if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/implicit_depth_tpu_xla"))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     # multi-host bring-up (no-op single host): ≙ dist.init_process_group
     if os.environ.get("JAX_COORDINATOR_ADDRESS"):
         import jax

@@ -99,8 +99,10 @@ def fuse_bytes(f32_pay: np.ndarray, f16_pay: np.ndarray) -> np.ndarray:
                            f16_pay.view(np.uint8).reshape(b, -1)], axis=1)
 
 
-@functools.lru_cache(maxsize=32)
-def _unpack_fn(spec: Tuple):
+def unpack_for_spec(spec: Tuple):
+    """Pure (un-jitted) unpack fn for a pack spec — composable inside other
+    jitted programs (the scanned train superstep unpacks one buffer row per
+    scan iteration)."""
     f32_shapes, f16_shapes, (h, w), derive_xyz = spec
     n32 = sum(int(np.prod(shp)) for _, shp in f32_shapes) + len(_SCALAR_KEYS)
     n16 = sum(int(np.prod(shp)) for _, shp in f16_shapes)
@@ -134,7 +136,12 @@ def _unpack_fn(spec: Tuple):
                                              out["fy"], out["cx"], out["cy"])
         return out
 
-    return jax.jit(unpack)
+    return unpack
+
+
+@functools.lru_cache(maxsize=32)
+def _unpack_fn(spec: Tuple):
+    return jax.jit(unpack_for_spec(spec))
 
 
 def put_batch(batch: Dict[str, Any], mesh: Optional[Mesh] = None,
@@ -163,19 +170,51 @@ def put_batch(batch: Dict[str, Any], mesh: Optional[Mesh] = None,
     return out
 
 
+def pack_super(batches, derive_xyz: bool = False
+               ) -> Tuple[np.ndarray, Tuple]:
+    """Stack K same-shaped host batches into ONE (K, B, bytes) uint8 buffer
+    for the scanned train superstep (train/steps.make_*_train_superstep):
+    one transfer and one device call execute K optimizer steps."""
+    bufs, spec0 = [], None
+    for b in batches:
+        arrays = {k: np.asarray(v) for k, v in b.items()
+                  if isinstance(v, (np.ndarray, jnp.ndarray)) or np.isscalar(v)}
+        f32_pay, f16_pay, spec = pack_batch(arrays, derive_xyz)
+        spec0 = spec0 or spec
+        assert spec == spec0, "superbatch members must share shapes"
+        bufs.append(fuse_bytes(f32_pay, f16_pay))
+    return np.stack(bufs), spec0
+
+
 class DeviceFeeder:
     """Wraps a DataLoader epoch with a one-deep background pack+put thread:
     the (host-blocking) transfer of batch i+1 overlaps the device compute of
-    batch i."""
+    batch i.
+
+    ``steps_per_call > 1`` switches :meth:`epoch` to SUPERBATCH mode: items
+    become ``("super", buf, spec, k)`` tuples (a (k, B, bytes) uint8 device
+    buffer for the scanned superstep) with a ``("single", device_batch)``
+    tail for the epoch remainder."""
 
     def __init__(self, loader, mesh: Optional[Mesh], axis: Optional[str] = "data",
-                 depth: int = 2):
+                 depth: int = 2, steps_per_call: int = 1):
         self.loader = loader
         self.mesh = mesh
         self.axis = axis
         self.depth = depth
+        self.steps_per_call = max(int(steps_per_call), 1)
         self.derive_xyz = bool(getattr(
             getattr(loader, "dataset", None), "xyz_from_depth", False))
+
+    def _put_super(self, group):
+        buf, spec = pack_super(
+            [{k: v for k, v in b.items() if k != "item_path"} for b in group],
+            self.derive_xyz)
+        if self.mesh is not None:
+            sh = NamedSharding(self.mesh,
+                               P(None, self.axis) if self.axis else P())
+            buf = jax.device_put(buf, sh)
+        return ("super", buf, spec, len(group))
 
     def epoch(self, epoch: int = 0) -> Iterator[Dict[str, jnp.ndarray]]:
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
@@ -183,11 +222,25 @@ class DeviceFeeder:
 
         def work():
             try:
+                group = []
                 for batch in self.loader.epoch(epoch):
                     if stop.is_set():
                         return
-                    q.put(put_batch(batch, self.mesh, self.axis,
-                                    self.derive_xyz))
+                    if self.steps_per_call == 1:
+                        q.put(put_batch(batch, self.mesh, self.axis,
+                                        self.derive_xyz))
+                        continue
+                    group.append(batch)
+                    if len(group) == self.steps_per_call:
+                        q.put(self._put_super(group))
+                        group = []
+                # epoch remainder smaller than a full superbatch: ship as
+                # singles (reuses the single-step jit — no per-size recompile)
+                for batch in group:
+                    if stop.is_set():
+                        return
+                    q.put(("single", put_batch(batch, self.mesh, self.axis,
+                                               self.derive_xyz)))
                 q.put(None)
             except BaseException as e:  # surface loader errors to the consumer
                 q.put(e)

@@ -38,8 +38,10 @@ from implicit_depth_tpu.train.state import TrainState, make_tx
 from implicit_depth_tpu.train.steps import (
     make_lidf_eval_step,
     make_lidf_train_step,
+    make_lidf_train_superstep,
     make_refine_eval_step,
     make_refine_train_step,
+    make_refine_train_superstep,
 )
 
 VALID_SPLITS = (("cleargrasp_synthetic", "known"), ("cleargrasp_synthetic", "novel"),
@@ -173,13 +175,60 @@ class BaseTrainer:
         with open(self.epoch_log_path, "a") as f:
             f.write(json.dumps({"epoch": epoch, **record}) + "\n")
 
+    def _train_steps_per_call(self) -> int:
+        """Optimizer steps per device call (tpu.train_steps_per_call): K>1
+        scans K steps in ONE jit dispatch over a stacked feed buffer.
+        Forced to 1 when per-step host batches are needed (debug truncation,
+        train-time visualization)."""
+        cfg = self.cfg
+        if cfg.debug or cfg.training.get("train_vis_iter", 0):
+            return 1
+        return max(int(cfg.tpu.get("train_steps_per_call", 1) or 1), 1)
+
     def _train_feed(self, epoch: int):
         """Packed, background-threaded host→device feed (train/feed.py):
-        ONE device_put per batch instead of ~10, xyz derived on device when
-        the dataset allows, pack work overlapped with the device step."""
+        ONE device_put per batch (or per K-step superbatch) instead of ~10,
+        xyz derived on device when the dataset allows, pack work overlapped
+        with the device step."""
         if not hasattr(self, "_feeder"):
-            self._feeder = DeviceFeeder(self.train_loader, self.mesh, "data")
+            self._feeder = DeviceFeeder(
+                self.train_loader, self.mesh, "data",
+                steps_per_call=self._train_steps_per_call())
         return self._feeder.epoch(epoch)
+
+    def _run_train_epoch(self, epoch: int, run_one, run_super, tag: str,
+                         log_keys) -> Dict[str, float]:
+        """Shared train-epoch driver. ``run_one(batch)`` executes a single
+        step; ``run_super(buf, spec)`` a scanned K-step superbatch (losses
+        come back stacked (K,) and are harvested per step). Loss readback is
+        one item LATE so the device pipeline stays full."""
+        cfg = self.cfg
+        self.meters.reset()
+        t_start = time.time()
+        pending = None
+        it = -1
+        for item in self._train_feed(epoch):
+            if cfg.debug and it >= 4:
+                break
+            if isinstance(item, tuple) and item[0] == "super":
+                _, buf, spec, k = item
+                losses = run_super(buf, spec)
+                first = it + 1
+                it += k
+            else:
+                batch = item[1] if isinstance(item, tuple) else item
+                batch.pop("item_path", None)
+                losses = run_one(batch)
+                first = it = it + 1
+                self._train_vis(epoch, it, batch)
+            if pending is not None:  # harvest the PREVIOUS item (overlapped)
+                self._harvest_losses(epoch, pending, tag, log_keys)
+            pending = (first, losses)
+        if pending is not None:
+            self._harvest_losses(epoch, pending, tag, log_keys)
+        means = self.meters.means()
+        means["epoch_time_s"] = time.time() - t_start
+        return means
 
     def _eval_put(self, batch, loader):
         """Replicated device copy of an eval batch via the packed path; the
@@ -189,20 +238,26 @@ class BaseTrainer:
                          self.mesh, axis=None, derive_xyz=derive)
 
     def _harvest_losses(self, epoch: int, pending, tag: str, log_keys) -> None:
-        """Read back one step's loss scalars. Called one step LATE (after the
-        next step has been dispatched): per-step ``float()`` readbacks are a
+        """Read back one item's loss scalars — a single step (scalars) or a
+        scanned superbatch (values stacked (K,)). Called one item LATE (after
+        the next has been dispatched): per-step ``float()`` readbacks are a
         host⇄device round-trip each — through this image's remote-TPU relay
         that is ≥25 ms of dead device time per scalar dict. A single delayed
         ``device_get`` keeps the device pipeline full and fetches the dict in
         one transfer."""
-        it, losses = pending
-        vals = {k: float(v) for k, v in jax.device_get(losses).items()}
-        self.meters.add(vals)
-        if self.is_main and it % self.cfg.training.log_interval == 0:
-            msg = " ".join(f"{k}={v:.4f}" for k, v in vals.items()
-                           if k in log_keys)
-            print(f"[{tag}] epoch {epoch} it {it}/{self.steps_per_epoch} {msg}",
-                  flush=True)
+        it0, losses = pending
+        host = {k: np.atleast_1d(np.asarray(v))
+                for k, v in jax.device_get(losses).items()}
+        n = max(a.shape[0] for a in host.values())
+        for j in range(n):
+            vals = {k: float(a[j] if a.shape[0] > 1 else a[0])
+                    for k, a in host.items()}
+            self.meters.add(vals)
+            if self.is_main and (it0 + j) % self.cfg.training.log_interval == 0:
+                msg = " ".join(f"{k}={v:.4f}" for k, v in vals.items()
+                               if k in log_keys)
+                print(f"[{tag}] epoch {epoch} it {it0 + j}/"
+                      f"{self.steps_per_epoch} {msg}", flush=True)
 
 
 class LIDFTrainer(BaseTrainer):
@@ -237,6 +292,8 @@ class LIDFTrainer(BaseTrainer):
             print(f"loaded weights from {cfg.checkpoint_path}")
 
         self.train_step = make_lidf_train_step(cfg, self.model, mesh=self.mesh)
+        self.train_superstep = make_lidf_train_superstep(cfg, self.model,
+                                                         mesh=self.mesh)
         # eval (batch 1): ALL chips split the per-pixel rays
         self.eval_step = make_lidf_eval_step(cfg, self.eval_model,
                                              ray_axis=("data", "rays"),
@@ -273,25 +330,20 @@ class LIDFTrainer(BaseTrainer):
 
     # -- loops --------------------------------------------------------------
     def train_epoch(self, epoch: int) -> Dict[str, float]:
-        cfg = self.cfg
-        self.meters.reset()
-        t_start = time.time()
-        pending = None
-        for it, batch in enumerate(self._train_feed(epoch)):
-            if cfg.debug and it >= 5:
-                break
-            batch.pop("item_path", None)
+        ep = jnp.asarray(epoch)
+
+        def run_one(batch):
             self.state, losses = self.train_step(
-                self.state, batch, self._next_key(), jnp.asarray(epoch))
-            if pending is not None:  # harvest the PREVIOUS step (overlapped)
-                self._harvest_losses(epoch, pending, "lidf", _LIDF_LOG_KEYS)
-            pending = (it, losses)
-            self._train_vis(epoch, it, batch)
-        if pending is not None:
-            self._harvest_losses(epoch, pending, "lidf", _LIDF_LOG_KEYS)
-        means = self.meters.means()
-        means["epoch_time_s"] = time.time() - t_start
-        return means
+                self.state, batch, self._next_key(), ep)
+            return losses
+
+        def run_super(buf, spec):
+            self.state, losses = self.train_superstep(
+                self.state, buf, self._next_key(), ep, spec=spec)
+            return losses
+
+        return self._run_train_epoch(epoch, run_one, run_super,
+                                     "lidf", _LIDF_LOG_KEYS)
 
     def validate(self, epoch: int, max_batches: Optional[int] = None) -> Dict[str, Dict]:
         cfg = self.cfg
@@ -432,6 +484,8 @@ class RefineTrainer(BaseTrainer):
         self.train_step = make_refine_train_step(cfg, self.lidf_model,
                                                  self.refine_model,
                                                  mesh=self.mesh)
+        self.train_superstep = make_refine_train_superstep(
+            cfg, self.lidf_model, self.refine_model, mesh=self.mesh)
         self.eval_step = make_refine_eval_step(cfg, self.eval_lidf,
                                                self.eval_refine,
                                                ray_axis=("data", "rays"),
@@ -458,26 +512,21 @@ class RefineTrainer(BaseTrainer):
                            inputs, np.asarray(pred))
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
-        cfg = self.cfg
-        self.meters.reset()
-        t_start = time.time()
-        pending = None
-        for it, batch in enumerate(self._train_feed(epoch)):
-            if cfg.debug and it >= 5:
-                break
-            batch.pop("item_path", None)
+        ep = jnp.asarray(epoch)
+
+        def run_one(batch):
             self.state, losses = self.train_step(
-                self.state, self.lidf_variables, batch, self._next_key(),
-                jnp.asarray(epoch))
-            if pending is not None:  # harvest the PREVIOUS step (overlapped)
-                self._harvest_losses(epoch, pending, "refine", _REFINE_LOG_KEYS)
-            pending = (it, losses)
-            self._train_vis(epoch, it, batch)
-        if pending is not None:
-            self._harvest_losses(epoch, pending, "refine", _REFINE_LOG_KEYS)
-        means = self.meters.means()
-        means["epoch_time_s"] = time.time() - t_start
-        return means
+                self.state, self.lidf_variables, batch, self._next_key(), ep)
+            return losses
+
+        def run_super(buf, spec):
+            self.state, losses = self.train_superstep(
+                self.state, self.lidf_variables, buf, self._next_key(), ep,
+                spec=spec)
+            return losses
+
+        return self._run_train_epoch(epoch, run_one, run_super,
+                                     "refine", _REFINE_LOG_KEYS)
 
     def validate(self, epoch: int, max_batches: Optional[int] = None) -> Dict[str, Dict]:
         cfg = self.cfg

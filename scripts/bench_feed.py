@@ -99,6 +99,31 @@ def main():
         for _ in range(N_STEPS + 5):
             yield dict(b0)
 
+    def run_superfeed(state, k=8):
+        """Scanned superstep phase: K optimizer steps per device call."""
+        from implicit_depth_tpu.train.steps import make_lidf_train_superstep
+        superstep = make_lidf_train_superstep(cfg, model, mesh=mesh)
+        feeder = DeviceFeeder(loader, mesh, "data", steps_per_call=k)
+        n, t0, n0, losses = 0, None, 0, None
+        for item in feeder.epoch(1):
+            if item[0] == "super":
+                _, buf, spec, kk = item
+                state, losses = superstep(state, buf, jax.random.key(n),
+                                          jnp.asarray(0), spec=spec)
+                n += kk
+            else:
+                b = dict(item[1])
+                b.pop("item_path", None)
+                state, losses = train_step(state, b, jax.random.key(n),
+                                           jnp.asarray(0))
+                n += 1
+            if t0 is None and n >= k:  # first superbatch done: warm
+                jax.block_until_ready(losses["loss_net"])
+                t0, n0 = time.perf_counter(), n
+        lv = losses["loss_net"]
+        float(lv if lv.ndim == 0 else lv[-1])  # relay fence
+        return (time.perf_counter() - t0) / (n - n0), state
+
     import sys
     all_phases = {"devonly": devonly, "perkey": perkey, "packed": packed,
                   "feeder": lambda: DeviceFeeder(loader, mesh, "data").epoch(1)}
@@ -106,7 +131,11 @@ def main():
     state = state0
     results = {}
     for name in names:
-        dt, state = run(all_phases[name](), state)
+        if name.startswith("super"):  # "super" or "super<K>"
+            k = int(name[5:]) if len(name) > 5 else 8
+            dt, state = run_superfeed(state, k)
+        else:
+            dt, state = run(all_phases[name](), state)
         results[name] = dt
         print(json.dumps({"feed": name, "step_ms": round(dt * 1e3, 2),
                           "rays_per_sec": round(BS * static.n_rays / dt, 0)}),
