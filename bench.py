@@ -8,9 +8,19 @@ ONE JSON line. The reference publishes no throughput numbers
 """
 
 import json
+import os
 import time
 
 import jax
+
+# persistent compile cache (works through the remote-TPU backend): repeat
+# bench runs skip the multi-minute jit compiles
+if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/implicit_depth_tpu_xla"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -86,6 +96,44 @@ def main():
         "unit": "rays/s/chip",
         "vs_baseline": round(rps2 / NOMINAL_RAYS_PER_SEC, 4),
     }), flush=True)
+
+    # -- opt-in: TRUE serial training throughput (BENCH_TRAIN=1) ------------
+    # state threaded through the timing loop's carry — the honest serial
+    # metric (see BASELINE.md "Timing-methodology correction"); adds one
+    # large fwd+bwd compile, so it is off by default for the driver run
+    if os.environ.get("BENCH_TRAIN"):
+        from implicit_depth_tpu.parallel.mesh import make_mesh, replicate
+        from implicit_depth_tpu.train.state import TrainState, make_tx
+        from implicit_depth_tpu.train.steps import _lidf_train_core
+
+        mesh = make_mesh((1, 1), ("data", "rays"),
+                         devices=jax.devices()[:1])
+        core = _lidf_train_core(cfg, model, mesh)
+        tstate = replicate(TrainState.create(
+            variables["params"], variables["batch_stats"],
+            make_tx(cfg.training, 100)), mesh)
+        iters = 6
+
+        @jax.jit
+        def serial_loop(kk, s, b):
+            def body(i, carry):
+                s, acc = carry
+                s, losses = core(s, b, jax.random.fold_in(kk, i),
+                                 jnp.asarray(0))
+                return (s, acc + losses["loss_net"].astype(jnp.float32))
+            return jax.lax.fori_loop(0, iters, body, (s, jnp.float32(0)))[1]
+
+        assert np.isfinite(float(serial_loop(jax.random.key(5), tstate, batch)))
+        t0 = time.perf_counter()
+        assert np.isfinite(float(serial_loop(jax.random.key(6), tstate, batch)))
+        dtt = (time.perf_counter() - t0) / iters
+        rpst = batch_size * static.n_rays / dtt / n_chips
+        print(json.dumps({
+            "metric": "lidf_train_serial_rays_per_sec_per_chip",
+            "value": round(rpst, 1),
+            "unit": "rays/s/chip",
+            "vs_baseline": round(rpst / NOMINAL_RAYS_PER_SEC, 4),
+        }), flush=True)
 
     # -- headline: stage-1 forward (LAST line — the driver parses the tail) -
     def one(kk, v, b):
