@@ -205,29 +205,47 @@ class BaseTrainer:
         cfg = self.cfg
         self.meters.reset()
         t_start = time.time()
+        phases = {"feed_wait": 0.0, "dispatch": 0.0, "harvest": 0.0}
         pending = None
         it = -1
-        for item in self._train_feed(epoch):
-            if cfg.debug and it >= 4:
+        feed = iter(self._train_feed(epoch))
+        while True:
+            t0 = time.perf_counter()
+            item = next(feed, None)
+            phases["feed_wait"] += time.perf_counter() - t0
+            if item is None or (cfg.debug and it >= 4):
                 break
+            t0 = time.perf_counter()
             if isinstance(item, tuple) and item[0] == "super":
                 _, buf, spec, k = item
                 losses = run_super(buf, spec)
                 first = it + 1
                 it += k
+                batch = None
             else:
                 batch = item[1] if isinstance(item, tuple) else item
                 batch.pop("item_path", None)
                 losses = run_one(batch)
                 first = it = it + 1
+            phases["dispatch"] += time.perf_counter() - t0
+            if batch is not None:
                 self._train_vis(epoch, it, batch)
             if pending is not None:  # harvest the PREVIOUS item (overlapped)
+                t0 = time.perf_counter()
                 self._harvest_losses(epoch, pending, tag, log_keys)
+                phases["harvest"] += time.perf_counter() - t0
             pending = (first, losses)
         if pending is not None:
+            t0 = time.perf_counter()
             self._harvest_losses(epoch, pending, tag, log_keys)
+            phases["harvest"] += time.perf_counter() - t0
         means = self.meters.means()
         means["epoch_time_s"] = time.time() - t_start
+        if os.environ.get("IDT_TIMING") and self.is_main:
+            # harvest(last) is where the queued device work drains, so it
+            # reads as "device time the host could not overlap"
+            print(f"[timing] epoch {epoch} " + " ".join(
+                f"{k}={v:.2f}s" for k, v in phases.items()), flush=True)
         return means
 
     def _eval_put(self, batch, loader):

@@ -108,3 +108,29 @@ def test_trainer_superstep_epoch(tmp_path):
     # all 5 steps harvested into the meters (2 supersteps of 2 + 1 single)
     assert tr.meters._meters["loss_net"].n == 5
     assert int(jax.device_get(tr.state.step)) == 5
+
+
+@pytest.mark.slow
+def test_refine_trainer_superstep_epoch(tmp_path):
+    from implicit_depth_tpu.train.trainer import RefineTrainer
+    cfg = load_config(overrides={
+        "trainer_name": "refine",
+        "exp_type": "train",
+        "base_log_dir": str(tmp_path / "logs"),
+        "log_name": "refine_super_smoke",
+        "mask_type": "all",
+        "seed": 0,
+        "dataset": {"type": "synthetic", "synthetic_len": 8,
+                    "img_width": W, "img_height": H},
+        "model": {"rgb_out": 8, "pnet_out": 16, "pnet_gf": 8, "imnet_gf": 8},
+        "grid": {"miss_sample_num": 128, "valid_sample_num": 128},
+        "training": {"batch_size": 2, "valid_batch_size": 1, "nepochs": 1,
+                     "num_workers": 2, "log_interval": 1, "do_valid": False},
+        "tpu": {"max_pairs_per_ray": 8, "compute_dtype": "float32",
+                "train_steps_per_call": 2},
+    })
+    tr = RefineTrainer(cfg)  # random frozen LIDF (no lidf_ckpt_path)
+    means = tr.train_epoch(0)
+    assert np.isfinite(means["loss_net"])
+    assert tr.meters._meters["loss_net"].n == 4  # 2 supersteps of 2
+    assert int(jax.device_get(tr.state.step)) == 4
