@@ -337,6 +337,10 @@ def lidf_forward_oracle(batch: Dict[str, np.ndarray],
     return {
         "occ_coord": occ_coord, "occ_bid": occ_bid,
         "part_size": part_size,
+        # stage-2 (refine) inputs: valid-point pnet rows + ray geometry
+        "revidx": revidx, "v_rel_coord": v_rel_coord,
+        "valid_rgb_keep": valid_rgb[keep],
+        "ray_dir": ray_dir, "mbid": mbid, "mfid": mfid,
         "vox_i": vox_i, "ray_i": ray_i,
         "t_enter": t_enter.T[vox_i, ray_i], "t_exit": t_exit.T[vox_i, ray_i],
         "pcl_label": pcl_label,

@@ -23,13 +23,14 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from implicit_depth_tpu.builder import build_lidf, build_static
+from implicit_depth_tpu.builder import build_lidf, build_refine, build_static
 from implicit_depth_tpu.config import load_config
 from implicit_depth_tpu.data.synthetic import synthetic_sample
 from implicit_depth_tpu.models.lidf import lidf_loss, prepare_inputs
 from implicit_depth_tpu.utils.torch_import import roi_row_permutation
 
 from oracle_lidf import lidf_forward_oracle
+from oracle_refine import refine_iteration_oracle
 
 B, H, W = 2, 48, 64
 N_RAYS, N_VALID, K = 192, 512, 32
@@ -42,6 +43,7 @@ def _cfg():
         "model": {"rgb_out": RGB_OUT, "pnet_out": PNET_OUT, "pnet_gf": 8,
                   "imnet_gf": GF},
         "grid": {"miss_sample_num": N_RAYS, "valid_sample_num": N_VALID},
+        "refine": {"pnet_out": PNET_OUT, "pnet_gf": 8, "imnet_gf": GF},
         "tpu": {"max_pairs_per_ray": K, "pairs_budget_per_ray": 0,
                 "compute_dtype": "float32"},
     })
@@ -216,6 +218,78 @@ def test_pred_pos_matches(parity):
     clear = margin > 1e-5
     assert (~clear).sum() <= max(B * N_RAYS // 100, 2)
     np.testing.assert_allclose(ours[clear], oracle["pred_pos"][clear], atol=2e-4)
+
+
+def _refine_ref_weights(params):
+    """Inverse transplant of the refine tree (pnet + IEF offset decoder) to
+    torch state-dict layout. No ROI row permutation: the oracle consumes the
+    per-ray ROI features in OUR flatten order (see oracle_refine docstring)."""
+    inv = lambda d: np.asarray(d["kernel"]).T
+    pnet = {}
+    for i, name in enumerate(["point_lin1", "point_lin2", "vox_lin1",
+                              "point_lin3", "point_lin4", "vox_lin2"]):
+        d = params["pnet"][f"Dense_{i}"]
+        pnet[name + ".weight"] = inv(d)
+        pnet[name + ".bias"] = np.asarray(d["bias"])
+    off = {}
+    for i in range(4):
+        d = params["offset_dec"]["_MLP4_0"][f"Dense_{i}"]
+        off[f"linear_{i + 1}.weight"] = inv(d)
+        off[f"linear_{i + 1}.bias"] = np.asarray(d["bias"])
+    off["offset_enc.weight"] = inv(params["offset_dec"]["Dense_0"])
+    off["offset_enc.bias"] = np.asarray(params["offset_dec"]["Dense_0"]["bias"])
+    return {"pnet": pnet, "offset_dec": off}
+
+
+def test_refine_iterations_match(parity):
+    """Composed stage-2 parity: two chained refinement iterations of our
+    RefineModel vs the numpy oracle port of get_pred_refine — pins the
+    334-d embed concat order, offset_range scaling, point injection, and
+    end-voxel re-localization semantics."""
+    static, inputs, out, _, oracle = parity
+    mask = np.asarray(out["has_pair"]).reshape(-1)
+    assert mask.mean() > 0.5  # the scene must exercise the bulk of the rays
+
+    cfg = _cfg()
+    refine = build_refine(cfg, static)
+    inputs_j = jax.tree.map(jnp.asarray, dict(inputs))
+    out_j = jax.tree.map(jnp.asarray, dict(out))
+    rvars = jax.jit(lambda k, i, o: refine.init(k, i, o, o["pred_pos"]))(
+        jax.random.key(9), inputs_j, out_j)
+    # widen the (1e-5-init) decoder so refined offsets actually vary
+    p = jax.device_get(rvars["params"])
+    prng = np.random.default_rng(13)
+    for i in range(4):
+        d = p["offset_dec"]["_MLP4_0"][f"Dense_{i}"]
+        fan_in = np.shape(d["kernel"])[0]
+        d["kernel"] = prng.normal(0, 1.5 / np.sqrt(fan_in),
+                                  np.shape(d["kernel"])).astype(np.float32)
+        d["bias"] = prng.normal(0, 0.1, np.shape(d["bias"])).astype(np.float32)
+    rvars = {"params": p}
+
+    apply = jax.jit(lambda v, i, o, pr: refine.apply(v, i, o, pr))
+    pred1 = np.asarray(apply(rvars, inputs_j, out_j, out_j["pred_pos"]))
+    pred2 = np.asarray(apply(rvars, inputs_j, out_j, jnp.asarray(pred1)))
+
+    w = _refine_ref_weights(p)
+    roi = np.asarray(out["roi_feat"], np.float32).reshape(B * N_RAYS, -1)
+    rgb_flat = np.asarray(inputs["rgb"], np.float32).reshape(B, -1, 3)
+    miss_rgb = rgb_flat[oracle["mbid"], oracle["mfid"]]
+    fallback_row = np.concatenate(
+        [oracle["vox_i"], [0]])[oracle["max_pair_id"]]
+    pred0 = np.asarray(out["pred_pos"], np.float32).reshape(-1, 3)
+
+    o1, agree1 = refine_iteration_oracle(oracle, roi, miss_rgb, w, pred0,
+                                         fallback_row, inject_mask=mask)
+    o2, agree2 = refine_iteration_oracle(oracle, roi, miss_rgb, w, o1,
+                                         fallback_row, inject_mask=mask)
+
+    np.testing.assert_allclose(pred1.reshape(-1, 3)[mask], o1[mask], atol=3e-4)
+    np.testing.assert_allclose(pred2.reshape(-1, 3)[mask], o2[mask], atol=6e-4)
+    # the reference's index-max end-voxel rule and our containment rule must
+    # agree on the bulk of rays (documented divergence — seeded, no flake)
+    assert agree1[mask].mean() > 0.5 and agree2[mask].mean() > 0.5, (
+        agree1[mask].mean(), agree2[mask].mean())
 
 
 def test_losses_match(parity):
