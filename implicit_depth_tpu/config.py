@@ -147,6 +147,9 @@ _DEFAULTS: Dict[str, Any] = {
     "custom_postfix": "",
     "checkpoint_path": None,
     "lidf_ckpt_path": None,
+    # which snapshot to load from lidf_ckpt_path for frozen stage 1
+    # ('latest_network' | 'best_network' | 'epochNNN_network')
+    "lidf_ckpt_name": "latest_network",
     "resume": None,
     "seed": 0,
     "debug": False,

@@ -477,7 +477,8 @@ class RefineTrainer(BaseTrainer):
                 k, i, train=False, use_gt_label=True))(self._next_key(), inputs)
             if cfg.lidf_ckpt_path:
                 params, bstats = restore_params_only(
-                    cfg.lidf_ckpt_path, lidf_variables)
+                    cfg.lidf_ckpt_path, lidf_variables,
+                    name=cfg.get("lidf_ckpt_name", "latest_network"))
                 lidf_variables = {"params": params, "batch_stats": bstats}
         self.lidf_variables = replicate(lidf_variables, self.mesh)
 

@@ -52,6 +52,10 @@ def main():
     ap.add_argument("--variants", default="per_ray_xla,per_ray_pallas")
     ap.add_argument("--train", action="store_true",
                     help="also time the train step (fwd+bwd+adam)")
+    ap.add_argument("--serial", action="store_true",
+                    help="train timing with state threaded through the loop "
+                         "(true serial step; default is the pipelined upper "
+                         "bound — see BASELINE.md timing-methodology note)")
     args = ap.parse_args()
 
     raw = synthetic_batch(0, BS, H, W)
@@ -98,8 +102,56 @@ def main():
                                          new_batch_stats=mut["batch_stats"])
                 return l + jax.tree.leaves(st2.params)[0].astype(jnp.float32).sum() * 0
 
-            dt = device_slope_time(tstep, jax.random.key(3), state, batch)
-            print(json.dumps({"variant": name + "+train",
+            if args.serial:
+                # honest serial methodology (BASELINE.md "Timing-methodology
+                # correction"): thread the optimizer state through the loop
+                # carry so iterations have a true dependence — XLA cannot
+                # pipeline them into a throughput upper bound
+                import time
+
+                def serial_loop_factory(iters):
+                    @jax.jit
+                    def loop(kk, st, b):
+                        def body(i, carry):
+                            st, acc = carry
+                            inp = prepare_inputs(static, b,
+                                                 jax.random.fold_in(kk, i),
+                                                 train=True)
+
+                            def loss_fn(params):
+                                out, mut = model.apply(
+                                    {"params": params,
+                                     "batch_stats": st.batch_stats},
+                                    inp, train=True, use_gt_label=False,
+                                    mutable=["batch_stats"])
+                                return lidf_loss(
+                                    inp, out, train=True,
+                                    img_hw=(H, W))["loss_net"], mut
+
+                            (l, mut), grads = jax.value_and_grad(
+                                loss_fn, has_aux=True)(st.params)
+                            st = st.apply_gradients(
+                                grads, new_batch_stats=mut["batch_stats"])
+                            return (st, acc + l.astype(jnp.float32))
+                        return jax.lax.fori_loop(
+                            0, iters, body, (st, jnp.float32(0)))[1]
+                    return loop
+
+                times = {}
+                for iters in (2, 8):
+                    loop = serial_loop_factory(iters)
+                    assert np.isfinite(float(loop(jax.random.key(5), state,
+                                                  batch)))
+                    t0 = time.perf_counter()
+                    assert np.isfinite(float(loop(jax.random.key(6), state,
+                                                  batch)))
+                    times[iters] = time.perf_counter() - t0
+                dt = (times[8] - times[2]) / 6
+                label = name + "+train_serial"
+            else:
+                dt = device_slope_time(tstep, jax.random.key(3), state, batch)
+                label = name + "+train"
+            print(json.dumps({"variant": label,
                               "step_ms": round(dt * 1e3, 2),
                               "rays_per_sec": round(BS * static.n_rays / dt, 1)}),
                   flush=True)

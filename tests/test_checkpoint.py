@@ -36,6 +36,16 @@ def test_save_restore_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(params["a"]), 2.5)
     np.testing.assert_allclose(np.asarray(bstats["bn"]), 1.0)
 
+    # named-snapshot load (the stage-2 `lidf_ckpt_name: best_network` path)
+    best = state.replace(params={"a": state.params["a"] * 0 + 7.0,
+                                 "b": state.params["b"]})
+    ck.save_as(best, epoch=2, name="best_network", meta={"best": 0.1})
+    params, _ = restore_params_only(str(tmp_path),
+                                    {"params": state.params,
+                                     "batch_stats": state.batch_stats},
+                                    name="best_network")
+    np.testing.assert_allclose(np.asarray(params["a"]), 7.0)
+
 
 def test_restore_params_only_tolerates_reshaped_ckpt(tmp_path):
     """A checkpoint whose leaf shapes drifted partial-loads: matching leaves
