@@ -273,7 +273,6 @@ _DEFAULTS: Dict[str, Any] = {
         "use_pallas_decode": False,  # fused TPU kernel for the pair decode
         "decode_rays_per_tile": 128,  # Pallas ray-decode tile (rays)
         "decode_bwd": "xla",         # kernel backward: 'xla' recompute | 'kernel' fused
-        "mesh_axes": ["data"],       # SPMD mesh axis names
         "mesh_shape": None,          # None => all visible devices on 'data'
         "compute_dtype": "bfloat16", # matmul/conv activations dtype
         "sync_batchnorm": True,      # cross-replica BN moments over 'data'
@@ -291,6 +290,37 @@ def default_config() -> Config:
     return Config(copy.deepcopy(_DEFAULTS))
 
 
+# selector keys with a single (or enumerated) supported implementation; the
+# reference raises NotImplementedError on anything else (pipeline.py:53,85,
+# 456,772, train_lidf.py:69) — mirror that instead of silently ignoring
+_SUPPORTED_SELECTORS = {
+    ("model", "rgb_model_type"): ("resnet",),
+    ("model", "rgb_embedding_type"): ("ROIAlign",),
+    ("model", "pnet_model_type"): ("twostage",),
+    ("model", "probdec_type"): ("IMNET", "IMNet"),
+    ("model", "offdec_type"): ("IEF", "IMNET", "IMNet"),
+    ("model", "scatter_type"): ("Maxpool",),
+    ("refine", "pnet_model_type"): ("twostage",),
+    ("refine", "offdec_type"): ("IEF", "IMNET", "IMNet"),
+    ("loss", "pos_loss_type"): ("single",),
+    ("loss", "prob_loss_type"): ("ray",),
+    # optimizer_name is validated in train/state.make_optimizer (it accepts
+    # any case and adamw); scheduler has a single supported implementation
+    ("training", "scheduler_name"): ("StepLR",),
+}
+
+
+def validate_config(cfg: Config) -> Config:
+    """Reject selector values no implementation backs (≙ the reference's
+    NotImplementedError paths) rather than silently running something else."""
+    for (section, key), allowed in _SUPPORTED_SELECTORS.items():
+        val = cfg.get(section, Config({})).get(key)
+        if val is not None and val not in allowed:
+            raise NotImplementedError(
+                f"{section}.{key}={val!r} is not supported (one of {allowed})")
+    return cfg
+
+
 def load_config(*yaml_paths: str, overrides: Optional[Dict[str, Any]] = None) -> Config:
     """Build a config: defaults <- yaml overlays (in order) <- overrides."""
     cfg = default_config()
@@ -301,4 +331,4 @@ def load_config(*yaml_paths: str, overrides: Optional[Dict[str, Any]] = None) ->
     if overrides:
         cfg.update_from(overrides)
     cfg.interpolate()
-    return cfg
+    return validate_config(cfg)

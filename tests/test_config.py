@@ -54,3 +54,19 @@ def test_roundtrip(tmp_path):
 def test_flat_items():
     cfg = Config({"a": {"b": 1}, "c": 2})
     assert dict(cfg.flat_items()) == {"a.b": 1, "c": 2}
+
+
+def test_unsupported_selector_raises():
+    """validate_config mirrors the reference's NotImplementedError paths
+    (pipeline.py:53,85,456,772; train_lidf.py:69) instead of silently
+    running a different implementation."""
+    import pytest
+
+    for key, bad in [({"model": {"scatter_type": "Meanpool"}}, "Meanpool"),
+                     ({"model": {"rgb_model_type": "vgg"}}, "vgg"),
+                     ({"loss": {"pos_loss_type": "dual"}}, "dual"),
+                     ({"training": {"scheduler_name": "Cosine"}}, "Cosine")]:
+        with pytest.raises(NotImplementedError, match=bad):
+            load_config(overrides=key)
+    # supported values pass
+    load_config(overrides={"model": {"offdec_type": "IMNET"}})
