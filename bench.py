@@ -53,10 +53,9 @@ def main():
     cfg = load_config(overrides={
         "mask_type": "all",
         "dataset": {"img_height": h, "img_width": w},
-        # serving path: fused ray-major Pallas decode (training keeps the
-        # XLA path per the measured step-time A/B, BASELINE.md)
-        "tpu": {"compute_dtype": "bfloat16",
-                "use_pallas_decode": jax.default_backend() == "tpu"},
+        # use_pallas_decode='auto' (config default): fused ray-major Pallas
+        # decode on TPU for serving AND training (serial A/B, BASELINE.md)
+        "tpu": {"compute_dtype": "bfloat16"},
     })
     static = build_static(cfg)
     model = build_lidf(cfg, static)

@@ -35,6 +35,15 @@ def compute_dtype(cfg: Config):
     return _DTYPES[cfg.tpu.compute_dtype]
 
 
+def _resolve_pallas(flag) -> bool:
+    """'auto' => fused ray-decode kernel on the TPU backend only (off-TPU the
+    kernel runs in interpret mode — correct but test-only slow)."""
+    if flag == "auto":
+        import jax
+        return jax.default_backend() == "tpu"
+    return bool(flag)
+
+
 def build_lidf(cfg: Config, static: LIDFStatic) -> LIDFModel:
     m = cfg.model
     return LIDFModel(
@@ -53,7 +62,8 @@ def build_lidf(cfg: Config, static: LIDFStatic) -> LIDFModel:
         offset_range=tuple(cfg.grid.offset_range),
         pairs_budget=cfg.tpu.get("pairs_budget_per_ray", 0),
         pairs_budget_mode=cfg.tpu.get("pairs_budget_mode", "per_ray"),
-        use_pallas_decode=cfg.tpu.get("use_pallas_decode", False),
+        use_pallas_decode=_resolve_pallas(cfg.tpu.get("use_pallas_decode",
+                                                      "auto")),
         decode_rays_per_tile=cfg.tpu.get("decode_rays_per_tile", 64),
         decode_bwd=cfg.tpu.get("decode_bwd", "xla"),
         remat_backbone=cfg.tpu.get("remat_backbone", False),

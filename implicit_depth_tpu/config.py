@@ -270,9 +270,13 @@ _DEFAULTS: Dict[str, Any] = {
         "pairs_budget_per_ray": 8,   # pairs/ray decoded; 0 = dense (all K)
         "pairs_budget_mode": "per_ray",  # 'per_ray' nearest-K truncation |
                                          # 'global' cross-ray compaction
-        "use_pallas_decode": False,  # fused TPU kernel for the pair decode
+        # fused ray-decode kernel: 'auto' => on for the TPU backend, off
+        # elsewhere (the CPU fallback is interpret-mode, test-only slow).
+        # Serial A/B on v5e: fwd 15.1 vs 19.1 ms, train step 72.2 vs 93.8 ms
+        # with the fused backward — kernel wins both (BASELINE.md)
+        "use_pallas_decode": "auto",
         "decode_rays_per_tile": 128,  # Pallas ray-decode tile (rays)
-        "decode_bwd": "xla",         # kernel backward: 'xla' recompute | 'kernel' fused
+        "decode_bwd": "kernel",      # kernel backward: 'kernel' fused | 'xla' recompute
         "mesh_shape": None,          # None => all visible devices on 'data'
         "compute_dtype": "bfloat16", # matmul/conv activations dtype
         "sync_batchnorm": True,      # cross-replica BN moments over 'data'
