@@ -32,19 +32,28 @@ from implicit_depth_tpu.models.lidf import prepare_inputs
 NOMINAL_RAYS_PER_SEC = 1_000_000.0
 
 
-def _timed_loop(fn, *args, iters=10):
-    """In-graph fori-loop timing with one readback (remote-relay safe)."""
+def _timed_loop(fn, *args, iters_a=3, iters_b=13):
+    """In-graph fori-loop SLOPE timing with one readback per run: the
+    (iters_b - iters_a) difference cancels the constant dispatch + relay-RTT
+    overhead, leaving the honest per-iteration device rate (remote-relay
+    safe — see BASELINE.md timing methodology)."""
 
-    @jax.jit
-    def loop(kk, *a):
-        def body(i, acc):
-            return acc + fn(jax.random.fold_in(kk, i), *a)
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+    def make(iters):
+        @jax.jit
+        def loop(kk, *a):
+            def body(i, acc):
+                return acc + fn(jax.random.fold_in(kk, i), *a)
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+        return loop
 
-    assert np.isfinite(float(loop(jax.random.key(2), *args)))  # compile + warm
-    t0 = time.perf_counter()
-    assert np.isfinite(float(loop(jax.random.key(3), *args)))
-    return (time.perf_counter() - t0) / iters
+    times = {}
+    for iters in (iters_a, iters_b):
+        loop = make(iters)
+        assert np.isfinite(float(loop(jax.random.key(2), *args)))  # warm
+        t0 = time.perf_counter()
+        assert np.isfinite(float(loop(jax.random.key(3), *args)))
+        times[iters] = time.perf_counter() - t0
+    return (times[iters_b] - times[iters_a]) / (iters_b - iters_a)
 
 
 def main():

@@ -64,9 +64,15 @@ def sample_masked_window(mask_flat: jnp.ndarray, n_sample: int, key: jax.Array):
       key:       PRNG key.
 
     Returns:
-      idx:  (B, n_sample) int32 flat indices (garbage where slot invalid).
-      slot: (B, n_sample) bool slot validity.
-      cnt:  (B,) int32 number of mask pixels.
+      idx:   (B, n_sample) int32 flat indices (garbage where slot invalid).
+      slot:  (B, n_sample) bool slot validity.
+      cnt:   (B,) int32 number of mask pixels.
+      start: (B,) int32 window start — slot j holds the (start+j)-th True
+             entry of ``mask_flat`` in index order, so ``idx`` is strictly
+             increasing over the valid slots. Downstream image writes exploit
+             this: pixel p maps to slot ``rank(p) - start`` with
+             ``rank = cumsum(mask) - 1`` (see models/lidf.py
+             ``compose_pred_image`` — scatter-free, gather-only).
     """
     b = mask_flat.shape[0]
     keys = jax.random.split(key, b)
@@ -78,7 +84,7 @@ def sample_masked_window(mask_flat: jnp.ndarray, n_sample: int, key: jax.Array):
         start = jax.random.randint(k, (), 0, max_start + 1)
         idx = jax.lax.dynamic_slice(order, (start,), (n_sample,))
         slot = (start + jnp.arange(n_sample, dtype=jnp.int32)) < cnt
-        return idx, slot, cnt
+        return idx, slot, cnt, start
 
     return jax.vmap(one)(mask_flat, keys)
 

@@ -160,9 +160,9 @@ def refine_loss(inputs, pred_pos_refine, *, train, img_hw,
     import numpy as np
     from implicit_depth_tpu.geometry.normals import surface_normals
     from implicit_depth_tpu.models.lidf import (
+        compose_pred_image,
         hard_neg_mean,
         masked_mean,
-        scatter_into_image,
     )
 
     h, w = img_hw
@@ -176,8 +176,9 @@ def refine_loss(inputs, pred_pos_refine, *, train, img_hw,
     pos_loss = reduce(pos_l1, slot)
 
     base = inputs["xyz_flat"] if train else inputs["xyz_corrupt_flat"]
-    gt_img = scatter_into_image(base, inputs["miss_idx"], slot, gt_pos)
-    pr_img = scatter_into_image(base, inputs["miss_idx"], slot, pred_pos_refine)
+    # train: gt_pos ≡ take(xyz_flat, miss_idx) — the write is the identity
+    gt_img = base if train else compose_pred_image(base, gt_pos, inputs, train)
+    pr_img = compose_pred_image(base, pred_pos_refine, inputs, train)
     gt_n, _, _ = surface_normals(gt_img.reshape(b, h, w, 3))
     pr_n, dx, dy = surface_normals(pr_img.reshape(b, h, w, 3))
     take = lambda img_flat: jnp.take_along_axis(
@@ -185,9 +186,12 @@ def refine_loss(inputs, pred_pos_refine, *, train, img_hw,
     cos = jnp.sum(take(gt_n.reshape(b, -1, 3)) * take(pr_n.reshape(b, -1, 3)), -1)
     surf_norm_loss = reduce((1.0 - cos) / 2.0, slot)
     angle_err = masked_mean(jnp.arccos(jnp.clip(cos, -1, 1)), slot) / np.pi * 180.0
-    dx2 = take(jnp.sum(dx * dx, -1).reshape(b, -1, 1))[..., 0]
-    dy2 = take(jnp.sum(dy * dy, -1).reshape(b, -1, 1))[..., 0]
-    smooth_loss = reduce(dx2, slot) + reduce(dy2, slot)
+    if smooth_w or smooth_on is True:  # statically gated (see lidf_loss)
+        dx2 = take(jnp.sum(dx * dx, -1).reshape(b, -1, 1))[..., 0]
+        dy2 = take(jnp.sum(dy * dy, -1).reshape(b, -1, 1))[..., 0]
+        smooth_loss = reduce(dx2, slot) + reduce(dy2, slot)
+    else:
+        smooth_loss = jnp.float32(0.0)
 
     loss_net = (pos_w * pos_loss
                 + surf_norm_w * jnp.asarray(surf_norm_on, jnp.float32) * surf_norm_loss

@@ -220,16 +220,27 @@ def fused_ray_decode(pair_vox, pos, ray_feat, weights,
 
 def _fused_fwd_impl(pair_vox, pos, ray_feat, weights, kb, multires, n_iter,
                     init_offset, use_sigmoid, dtype, rays_per_tile, interpret,
-                    *, cell_ids=None, vox_table=None):
+                    *, cell_ids=None, vox_table=None, tiles_per_image=None):
     """``pair_vox`` holds gathered (N·kb, Cv) rows — OR pass
     ``cell_ids`` (N·kb,) + ``vox_table`` (n_cells, Cv) and the lookup happens
     IN-kernel as a one-hot MXU matmul per tile (pair_vox then ignored):
     TPU per-row gathers from HBM are the measured decode bottleneck, while a
-    (rows, n_cells) one-hot against the VMEM-resident table is MXU work."""
+    (rows, n_cells) one-hot against the VMEM-resident table is MXU work.
+
+    ``tiles_per_image``: when set, ``cell_ids`` are PER-IMAGE local ids and
+    ``vox_table`` is (B·n_cells_img, Cv); each grid tile lies within one
+    image and sees only that image's (n_cells_img, Cv) table block (BlockSpec
+    index ``i // tiles_per_image``) — a 4× (B=4) cheaper one-hot than global
+    ids. Requires rays_per_tile · tiles_per_image = rays per image."""
     in_kernel_vox = cell_ids is not None
+    per_image = tiles_per_image is not None
     if in_kernel_vox:
         n_cells, c_vox = vox_table.shape
         n_rows = cell_ids.shape[0]
+        if per_image:
+            n_imgs = n_rows // (tiles_per_image * rays_per_tile * kb)
+            assert n_rows == n_imgs * tiles_per_image * rays_per_tile * kb
+            n_cells = n_cells // n_imgs
     else:
         n_rows, c_vox = pair_vox.shape
     n_rays, c_ray = ray_feat.shape
@@ -238,7 +249,7 @@ def _fused_fwd_impl(pair_vox, pos, ray_feat, weights, kb, multires, n_iter,
     w = _prep_weights(weights, c_vox, c_ray - 27, c_pos, 27, dtype)
 
     t = rays_per_tile
-    pad_rays = (-n_rays) % t
+    pad_rays = 0 if per_image else (-n_rays) % t
     if pad_rays:
         ray_feat = jnp.pad(ray_feat, ((0, pad_rays), (0, 0)))
         pos = jnp.pad(pos, ((0, pad_rays * kb), (0, 0)))
@@ -295,8 +306,14 @@ def _fused_fwd_impl(pair_vox, pos, ray_feat, weights, kb, multires, n_iter,
         vox_spec = pl.BlockSpec((rows_t, 1), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
         extra = [jnp.asarray(vox_table, dtype)]
-        extra_specs = [pl.BlockSpec(vox_table.shape, lambda i: (0, 0),
-                                    memory_space=pltpu.VMEM)]
+        if per_image:
+            tpi = tiles_per_image
+            extra_specs = [pl.BlockSpec((n_cells, c_vox),
+                                        lambda i: (i // tpi, 0),
+                                        memory_space=pltpu.VMEM)]
+        else:
+            extra_specs = [pl.BlockSpec(vox_table.shape, lambda i: (0, 0),
+                                        memory_space=pltpu.VMEM)]
         flops += 2 * (n_rays + pad_rays) * kb * n_cells * c_vox
     else:
         vox_in = pair_vox
@@ -412,9 +429,84 @@ def _fused_bwd(kb, multires, n_iter, init_offset, use_sigmoid, dtype,
 fused_ray_decode.defvjp(_fused_fwd, _fused_bwd)
 
 
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13, 14))
+def fused_ray_decode_table(cells, pos, ray_feat, vox_table, weights,
+                           kb, tiles_per_image, multires=8, n_iter=2,
+                           init_offset=0.001, use_sigmoid=False,
+                           dtype=jnp.bfloat16, rays_per_tile=256,
+                           interpret=False, bwd_impl="kernel"):
+    """Per-image-table variant — the TPU training/serving default.
+
+    ``cells``: (N·kb,) int32 LOCAL cell ids (0..n_cells_img); ``vox_table``:
+    (B·n_cells_img, Cv). The voxel-feature lookup happens IN-kernel as a
+    one-hot MXU matmul against the ray's image's table block, and (with
+    ``bwd_impl='kernel'``) the cotangent folds back into d_vox_table
+    in-kernel the same way — the XLA gather + 640k-row scatter-add (and the
+    (N·kb, Cv) row traffic, ~330 MB of f32 cotangents at production shapes)
+    disappear entirely. Exact forward: the one-hot picks a single bf16
+    element under f32 accumulation, bit-identical to gather+cast.
+
+    Requires rays_per_tile · tiles_per_image = rays per image (tiles never
+    straddle images).
+    """
+    return _fused_fwd_impl(None, pos, ray_feat, weights, kb, multires,
+                           n_iter, init_offset, use_sigmoid, dtype,
+                           rays_per_tile, interpret, cell_ids=cells,
+                           vox_table=vox_table,
+                           tiles_per_image=tiles_per_image)
+
+
+def _table_fwd(cells, pos, ray_feat, vox_table, weights, kb, tiles_per_image,
+               multires, n_iter, init_offset, use_sigmoid, dtype,
+               rays_per_tile, interpret, bwd_impl):
+    out = fused_ray_decode_table(cells, pos, ray_feat, vox_table, weights,
+                                 kb, tiles_per_image, multires, n_iter,
+                                 init_offset, use_sigmoid, dtype,
+                                 rays_per_tile, interpret, bwd_impl)
+    return out, (cells, pos, ray_feat, vox_table, weights)
+
+
+def _table_bwd(kb, tiles_per_image, multires, n_iter, init_offset,
+               use_sigmoid, dtype, rays_per_tile, interpret, bwd_impl,
+               res, g):
+    cells, pos, ray_feat, vox_table, weights = res
+    f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
+    if bwd_impl == "kernel":
+        d_table, d_rf, d_w = _fused_bwd_impl(
+            None, pos, ray_feat, weights, g[0], g[1], kb, multires, n_iter,
+            init_offset, use_sigmoid, dtype, rays_per_tile, interpret,
+            cell_ids=cells, vox_table=vox_table,
+            tiles_per_image=tiles_per_image)
+        return f0(cells), jnp.zeros_like(pos), d_rf, d_table, d_w
+
+    # XLA fallback: globalize the local ids and differentiate the
+    # identical-math XLA path (gather vjp -> scatter-add)
+    n_rows = cells.shape[0]
+    rows_per_img = tiles_per_image * rays_per_tile * kb
+    n_imgs = n_rows // rows_per_img
+    n_cells = vox_table.shape[0] // n_imgs
+    gcells = cells + (jnp.arange(n_rows, dtype=cells.dtype)
+                      // rows_per_img) * n_cells
+
+    def ref(rf, table, ws):
+        pv = table[gcells]
+        return xla_ray_decode(pv, pos, rf, ws, kb=kb, multires=multires,
+                              n_iter=n_iter, init_offset=init_offset,
+                              use_sigmoid=use_sigmoid, dtype=dtype)
+
+    _, vjp = jax.vjp(ref, ray_feat, vox_table, weights)
+    d_rf, d_table, d_w = vjp(g)
+    return f0(cells), jnp.zeros_like(pos), d_rf, d_table, d_w
+
+
+fused_ray_decode_table.defvjp(_table_fwd, _table_bwd)
+
+
 def _fused_bwd_impl(pair_vox, pos, ray_feat, weights, g_off, g_logit,
                     kb, multires, n_iter, init_offset, use_sigmoid, dtype,
-                    rays_per_tile, interpret):
+                    rays_per_tile, interpret,
+                    *, cell_ids=None, vox_table=None, tiles_per_image=None):
     """Fused backward kernel: per tile, recompute the forward in VMEM
     (activations never touch HBM — for the production shapes h1 alone would
     be ~330 MB), then backprop both MLPs. Weight-gradient accumulators use
@@ -423,8 +515,24 @@ def _fused_bwd_impl(pair_vox, pos, ray_feat, weights, g_off, g_logit,
 
     Returns (d_pair_vox, d_ray_feat, d_weights) with d_weights in the
     original (unsplit) pipeline layout.
+
+    Table mode (``cell_ids`` + ``vox_table`` + ``tiles_per_image``, matching
+    the forward's per-image local-id lookup): the voxel rows are looked up
+    in-kernel (one-hot MXU against the image's table block) and the FIRST
+    return becomes d_vox_table (B·n_cells_img, Cv) — accumulated in-kernel
+    as onehotᵀ @ d_rows into a per-image VMEM block, so neither the (N·kb,
+    Cv) gathered rows nor their f32 cotangents ever touch HBM and the XLA
+    scatter-add that used to fold d_rows into the table disappears.
     """
-    n_rows, c_vox = pair_vox.shape
+    per_image = tiles_per_image is not None
+    if per_image:
+        n_tab, c_vox = vox_table.shape
+        n_rows = cell_ids.shape[0]
+        n_imgs = n_rows // (tiles_per_image * rays_per_tile * kb)
+        assert n_rows == n_imgs * tiles_per_image * rays_per_tile * kb
+        n_cells = n_tab // n_imgs
+    else:
+        n_rows, c_vox = pair_vox.shape
     n_rays, c_ray = ray_feat.shape
     c_pos = 6 * (1 + 2 * multires)
     c_roi, c_dir = c_ray - 27, 27
@@ -434,7 +542,7 @@ def _fused_bwd_impl(pair_vox, pos, ray_feat, weights, g_off, g_logit,
     g2, g3 = weights["off_w2"].shape[1], weights["off_w3"].shape[1]
 
     t = rays_per_tile
-    pad_rays = (-n_rays) % t
+    pad_rays = 0 if per_image else (-n_rays) % t
     if pad_rays:
         ray_feat = jnp.pad(ray_feat, ((0, pad_rays), (0, 0)))
         pos = jnp.pad(pos, ((0, pad_rays * kb), (0, 0)))
@@ -477,7 +585,11 @@ def _fused_bwd_impl(pair_vox, pos, ray_feat, weights, g_off, g_logit,
 
     def kernel(vox_ref, pos_ref, ray_ref, goff_ref, glogit_ref, *rest):
         wrefs = rest[:len(wkeys)]
-        outs = rest[len(wkeys):]
+        if per_image:
+            table_ref, rest = rest[len(wkeys)], rest[len(wkeys) + 1:]
+            outs = rest
+        else:
+            outs = rest[len(wkeys):]
         dvox_ref, dray_ref = outs[0], outs[1]
         acc_refs = dict(zip([n for n, _ in acc_shapes], outs[2:]))
         wd = {k: (r[0] if w[k].ndim == 1 else r[:])
@@ -496,7 +608,13 @@ def _fused_bwd_impl(pair_vox, pos, ray_feat, weights, g_off, g_logit,
         csum = lambda d: jnp.sum(d, axis=0, keepdims=True)
 
         # ---- forward recompute, keeping activations ----------------------
-        pair_vox_t = vox_ref[:].astype(dtype)
+        if per_image:
+            ids = vox_ref[:]                                 # (rows_t, 1) i32
+            cols = jax.lax.broadcasted_iota(jnp.int32, (rows_t, n_cells), 1)
+            onehot = (ids == cols).astype(dtype)
+            pair_vox_t = dot(onehot, table_ref[:]).astype(dtype)
+        else:
+            pair_vox_t = vox_ref[:].astype(dtype)
         ray_rows = ray_ref[:]
         pe = _posenc_pair(pos_ref[:], wd["pe_smat"], wd["pe_phase"], dtype)
         pair_in = jnp.concatenate([pair_vox_t, pe], axis=-1)
@@ -577,8 +695,21 @@ def _fused_bwd_impl(pair_vox, pos, ray_feat, weights, g_off, g_logit,
         add("offr", dot_tn(ray_rows, d_re_off))
         add("probr", dot_tn(ray_rows, d_re_prob))
 
-        dvox_ref[:] = (dot_nt(d_e1_off, wd["offp_w1"][:c_vox])
-                       + dot_nt(d_z1p, wd["probp_w1"][:c_vox]))
+        d_rows = (dot_nt(d_e1_off, wd["offp_w1"][:c_vox])
+                  + dot_nt(d_z1p, wd["probp_w1"][:c_vox]))
+        if per_image:
+            # d_table block for THIS image: onehotᵀ @ d_rows, accumulated in
+            # VMEM across the image's tiles (block index i // tpi is
+            # constant within an image, so the block stays resident)
+            first_img = pl.program_id(0) % tiles_per_image == 0
+
+            @pl.when(first_img)
+            def _():
+                dvox_ref[...] = jnp.zeros(dvox_ref.shape, dvox_ref.dtype)
+
+            dvox_ref[...] += dot_tn(onehot, d_rows)
+        else:
+            dvox_ref[:] = d_rows
         dray_ref[:] = (dot_nt(d_re_off, wd["offr_w1"])
                        + dot_nt(d_re_prob, wd["probr_w1"]))
 
@@ -605,19 +736,41 @@ def _fused_bwd_impl(pair_vox, pos, ray_feat, weights, g_off, g_logit,
     mlp_flops = 2 * (n_rays + pad_rays) * (
         kb * (cp * g * 2 + (n_iter + 1) * (g * g2 + g2 * g3 + g3))
         + c_ray * g * 2)
+    if per_image:
+        tpi = tiles_per_image
+        vox_in = cell_ids[:, None].astype(jnp.int32)
+        first_in_spec = row_spec(1)
+        extra_ins = [jnp.asarray(vox_table, dtype)]
+        extra_in_specs = [pl.BlockSpec((n_cells, c_vox),
+                                       lambda i: (i // tpi, 0),
+                                       memory_space=pltpu.VMEM)]
+        first_out_spec = pl.BlockSpec((n_cells, c_vox),
+                                      lambda i: (i // tpi, 0),
+                                      memory_space=pltpu.VMEM)
+        first_out_shape = jax.ShapeDtypeStruct(vox_table.shape, jnp.float32)
+        mlp_flops += 2 * 2 * n_pad_rows * n_cells * c_vox  # lookup + d_table
+        first_bytes = n_pad_rows * 4
+    else:
+        vox_in = pair_vox
+        first_in_spec = row_spec(c_vox)
+        extra_ins, extra_in_specs = [], []
+        first_out_spec = row_spec(c_vox)
+        first_out_shape = jax.ShapeDtypeStruct((n_pad_rows, c_vox),
+                                               jnp.float32)
+        first_bytes = n_pad_rows * c_vox * 6
     vmem_limit = min(int(rows_t * 64 * 1024 + 24 * 2 ** 20), 128 * 2 ** 20)
     outs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[row_spec(c_vox), row_spec(8),
+        in_specs=[first_in_spec, row_spec(8),
                   pl.BlockSpec((t, c_ray), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-                  row_spec(1), row_spec(1), *w_specs],
-        out_specs=(row_spec(c_vox),
+                  row_spec(1), row_spec(1), *w_specs, *extra_in_specs],
+        out_specs=(first_out_spec,
                    pl.BlockSpec((t, c_ray), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM),
                    *acc_specs),
-        out_shape=(jax.ShapeDtypeStruct((n_pad_rows, c_vox), jnp.float32),
+        out_shape=(first_out_shape,
                    jax.ShapeDtypeStruct((n_rays + pad_rays, c_ray),
                                         jnp.float32),
                    *acc_out_shapes),
@@ -626,11 +779,11 @@ def _fused_bwd_impl(pair_vox, pos, ray_feat, weights, g_off, g_logit,
             vmem_limit_bytes=vmem_limit),
         cost_estimate=pl.CostEstimate(
             flops=3 * mlp_flops,
-            bytes_accessed=n_pad_rows * (c_vox * 6 + 40),
+            bytes_accessed=first_bytes + n_pad_rows * 40,
             transcendentals=n_pad_rows * 12 * multires),
         interpret=interpret,
-    )(pair_vox, pos, ray_feat, g_off[:, None].astype(jnp.float32),
-      g_logit[:, None].astype(jnp.float32), *warrs)
+    )(vox_in, pos, ray_feat, g_off[:, None].astype(jnp.float32),
+      g_logit[:, None].astype(jnp.float32), *warrs, *extra_ins)
 
     d_vox_rows, d_ray_rows = outs[0], outs[1]
     da = dict(zip([n for n, _ in acc_shapes], outs[2:]))
@@ -658,5 +811,8 @@ def _fused_bwd_impl(pair_vox, pos, ray_feat, weights, g_off, g_logit,
         "off_enc_b": (da["cvec"] @ offx.T)[0],
     }
     d_w = {k: v.astype(weights[k].dtype) for k, v in d_w.items()}
-    return (d_vox_rows[:n_rows].astype(pair_vox.dtype),
-            d_ray_rows[:n_rays].astype(ray_feat.dtype), d_w)
+    if per_image:
+        d_first = d_vox_rows.astype(vox_table.dtype)        # d_table
+    else:
+        d_first = d_vox_rows[:n_rows].astype(pair_vox.dtype)
+    return d_first, d_ray_rows[:n_rays].astype(ray_feat.dtype), d_w

@@ -69,7 +69,7 @@ def main():
     slope("sample_masked_window", looped(
         lambda k, m: sample_masked_window(m, static.n_rays, k)[0].sum().astype(jnp.float32)), cm)
 
-    midx, mslot, _ = jax.jit(
+    midx, mslot, _, _ = jax.jit(
         lambda m, k: sample_masked_window(m, static.n_rays, k))(cm, key)
     dirs = ray_dir_map(h, w, batch["fx"], batch["fy"], batch["cx"], batch["cy"])
     mdir = jnp.take_along_axis(dirs.reshape(bs, -1, 3), midx[..., None], axis=1)

@@ -110,6 +110,38 @@ def test_prepare_inputs_shapes_and_labels(stage1):
     assert np.all(gt_t <= t_ex[bi, ri, ki] + part_diag)
 
 
+def test_compose_pred_image_matches_scatter(stage1, batch):
+    """The gather-only loss-path image write (compose_pred_image) must equal
+    the scatter form exactly — values AND cotangents — for both the
+    window-sampled train rays and the pixel-aligned eval rays."""
+    from implicit_depth_tpu.models.lidf import (
+        compose_pred_image,
+        scatter_into_image,
+    )
+
+    cfg, static, _, _, _, _, _ = stage1
+    for train in (True, False):
+        inp = _prep(static, batch, train=train)
+        base = inp["xyz_corrupt_flat"]
+        values = inp["gt_pos"] * 1.7 + 0.1  # arbitrary, differs from base
+
+        ref = jax.jit(lambda v: scatter_into_image(
+            base, inp["miss_idx"], inp["miss_slot"], v))
+        new = jax.jit(lambda v: compose_pred_image(base, v, inp, train))
+        np.testing.assert_array_equal(np.asarray(ref(values)),
+                                      np.asarray(new(values)))
+
+        g_ref = jax.jit(jax.grad(lambda v: (ref(v) ** 2).sum()))(values)
+        g_new = jax.jit(jax.grad(lambda v: (new(v) ** 2).sum()))(values)
+        np.testing.assert_array_equal(np.asarray(g_ref), np.asarray(g_new))
+
+        gb_ref = jax.jit(jax.grad(lambda bb: (scatter_into_image(
+            bb, inp["miss_idx"], inp["miss_slot"], values) ** 2).sum()))(base)
+        gb_new = jax.jit(jax.grad(lambda bb: (compose_pred_image(
+            bb, values, inp, train) ** 2).sum()))(base)
+        np.testing.assert_array_equal(np.asarray(gb_ref), np.asarray(gb_new))
+
+
 def test_lidf_forward_loss_grads(stage1):
     cfg, static, lidf, _, inp, variables, out = stage1
     r, k = static.n_rays, static.k_pairs

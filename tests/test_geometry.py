@@ -73,9 +73,14 @@ def test_sample_masked_window_semantics(rng):
     mask[0, 10:90] = True   # 80 > 32 -> contiguous window
     mask[1, 5:15] = True    # 10 < 32 -> all + padding
     # image 2: empty -> all slots invalid
-    idx, slot, cnt = sample_masked_window(jnp.asarray(mask), 32, jax.random.key(0))
-    idx, slot, cnt = map(np.asarray, (idx, slot, cnt))
+    idx, slot, cnt, start = sample_masked_window(jnp.asarray(mask), 32,
+                                                 jax.random.key(0))
+    idx, slot, cnt, start = map(np.asarray, (idx, slot, cnt, start))
     assert cnt.tolist() == [80, 10, 0]
+    # slot j holds the (start+j)-th True entry (rank/window contract used by
+    # models/lidf.compose_pred_image)
+    ranks = np.cumsum(mask[0]) - 1
+    assert np.array_equal(ranks[idx[0]], start[0] + np.arange(32))
     assert slot[0].all()
     # contiguity: window indices are consecutive mask positions
     assert np.array_equal(idx[0], np.arange(idx[0][0], idx[0][0] + 32))

@@ -141,6 +141,42 @@ def test_onehot_variant_matches_gathered(data):
     assert np.isfinite(np.asarray(gt)).all() and np.abs(np.asarray(gt)).sum() > 0
 
 
+def test_table_variant_matches_gathered(data):
+    """Per-image-table kernel (local ids + per-image table blocks) ≡ feeding
+    pre-gathered rows, and its fused backward ≡ the XLA fallback backward,
+    across 2 images × 3 tiles each."""
+    from implicit_depth_tpu.ops.pallas_ray_decode import fused_ray_decode_table
+
+    _, pos, ray_feat, w = data
+    rng = np.random.default_rng(7)
+    n_cells, n_imgs, t = 272, 2, 16
+    rays_per_img = N_RAYS // n_imgs
+    tpi = rays_per_img // t
+    table = jnp.asarray(rng.normal(size=(n_imgs * n_cells, CV)).astype(np.float32))
+    cells = jnp.asarray(rng.integers(0, n_cells, N_RAYS * KB, dtype=np.int32))
+    gids = cells + (jnp.arange(N_RAYS * KB, dtype=jnp.int32)
+                    // (rays_per_img * KB)) * n_cells
+
+    want = fused_ray_decode(table[gids], pos, ray_feat, w, KB, 8, 2, 0.001,
+                            False, jnp.float32, t, True)
+    got = fused_ray_decode_table(cells, pos, ray_feat, table, w, KB, tpi,
+                                 8, 2, 0.001, False, jnp.float32, t, True)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    def loss(impl):
+        def f(rf, tb, ws):
+            off, logit = fused_ray_decode_table(cells, pos, rf, tb, ws, KB,
+                                                tpi, 8, 2, 0.001, False,
+                                                jnp.float32, t, True, impl)
+            return jnp.sum(off * 1.3 + logit * 0.7)
+        return jax.grad(f, argnums=(0, 1, 2))(ray_feat, table, w)
+
+    for a, b in zip(jax.tree.leaves(loss("kernel")), jax.tree.leaves(loss("xla"))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=2e-5)
+
+
 def test_bwd_kernel_grads_match_xla(data):
     """Fused backward kernel (per-tile recompute + VMEM weight-grad
     accumulators) ≡ differentiating the XLA oracle. 96 rays / 32-ray tiles
