@@ -65,6 +65,8 @@ def build_lidf(cfg: Config, static: LIDFStatic) -> LIDFModel:
         use_pallas_decode=_resolve_pallas(cfg.tpu.get("use_pallas_decode",
                                                       "auto")),
         decode_rays_per_tile=cfg.tpu.get("decode_rays_per_tile", 64),
+        decode_train_rays_per_tile=cfg.tpu.get("decode_train_rays_per_tile",
+                                               192),
         decode_bwd=cfg.tpu.get("decode_bwd", "xla"),
         remat_backbone=cfg.tpu.get("remat_backbone", False),
         dtype=compute_dtype(cfg),

@@ -275,8 +275,11 @@ _DEFAULTS: Dict[str, Any] = {
         # Serial A/B on v5e: fwd 15.1 vs 19.1 ms, train step 72.2 vs 93.8 ms
         # with the fused backward — kernel wins both (BASELINE.md)
         "use_pallas_decode": "auto",
-        "decode_rays_per_tile": 128,  # Pallas ray-decode tile (rays)
-        "decode_bwd": "kernel",      # kernel backward: 'kernel' fused | 'xla' recompute
+        "decode_rays_per_tile": 128,  # Pallas ray-decode tile (rays), serving
+        "decode_train_rays_per_tile": 192,  # table-mode training tile
+        "decode_bwd": "kernel_save",  # 'kernel_save' fused + saved layer-1
+                                      # pre-acts | 'kernel' fused recompute
+                                      # | 'xla' recompute
         "mesh_shape": None,          # None => all visible devices on 'data'
         "compute_dtype": "bfloat16", # matmul/conv activations dtype
         "sync_batchnorm": True,      # cross-replica BN moments over 'data'
@@ -311,6 +314,7 @@ _SUPPORTED_SELECTORS = {
     # optimizer_name is validated in train/state.make_optimizer (it accepts
     # any case and adamw); scheduler has a single supported implementation
     ("training", "scheduler_name"): ("StepLR",),
+    ("tpu", "decode_bwd"): ("xla", "kernel", "kernel_save"),
 }
 
 

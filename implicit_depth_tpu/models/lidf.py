@@ -189,8 +189,11 @@ class LIDFModel(nn.Module):
     pairs_budget: int = 0   # avg pair slots/ray to decode after compaction; 0 = dense
     pairs_budget_mode: str = "per_ray"  # 'per_ray' truncation | 'global' compaction
     use_pallas_decode: bool = False  # fused TPU kernel for the pair decode
-    decode_rays_per_tile: int = 128  # kernel tile (rays); vmem_limit raise in
-                                     # the kernel covers rows>512 (measured best)
+    decode_rays_per_tile: int = 128  # serving-kernel tile (rays); vmem_limit
+                                     # raise in the kernel covers rows>512
+    decode_train_rays_per_tile: int = 192  # table-mode (training) tile —
+                                     # measured best on v5e (57.1 vs 58.8 ms
+                                     # serial step at 128/256)
     decode_bwd: str = "xla"          # fused-kernel backward: 'xla' recompute
                                      # under jax.vjp | 'kernel' fused Pallas
     remat_backbone: bool = False  # jax.checkpoint the ResNet (trade FLOPs for HBM)
@@ -270,13 +273,20 @@ class LIDFModel(nn.Module):
         return w
 
     def _decode_ray_major(self, inputs, vox_feat, roi, dir_e,
-                          use_kernel: bool):
+                          use_kernel: bool, train: bool = False):
         """Ray-major decode (ops/pallas_ray_decode.py): contiguous (B, R, Kb)
         slots, per-ray features' layer-1 computed once per ray, lane-packed
         posenc. ``use_kernel`` picks the fused Pallas kernel (everything in
         VMEM, posenc in-register) vs the identical-math XLA path. Used by the
-        per_ray budget mode."""
+        per_ray budget mode.
+
+        Kernel path split: SERVING (train=False) feeds pre-gathered voxel
+        rows (`fused_ray_decode` — no ray padding, fastest fwd); TRAINING
+        uses the per-image-table variant whose fused backward folds d_table
+        in-kernel (no scatter-add) — worth ~8 ms/step against a ~0.6 ms fwd
+        cost (BASELINE.md scatter-elimination table)."""
         from implicit_depth_tpu.ops.pallas_ray_decode import (
+            fused_ray_decode,
             fused_ray_decode_table,
             xla_ray_decode,
         )
@@ -288,7 +298,18 @@ class LIDFModel(nn.Module):
             [enter, leave, jnp.zeros_like(enter[..., :2])],
             axis=-1).reshape(b * r * kb, 8).astype(jnp.float32)
         ray_feat = jnp.concatenate([roi, dir_e], -1).reshape(b * r, -1)
-        if use_kernel:
+        if use_kernel and not train:
+            global_cell = (jnp.arange(b, dtype=jnp.int32)[:, None, None]
+                           * grid.n_cells + inputs["pair_cell"])
+            pair_vox = vox_feat[global_cell].reshape(b * r * kb, -1)
+            off, logit = fused_ray_decode(
+                pair_vox.astype(self.dtype), pos, ray_feat.astype(self.dtype),
+                self._decoder_weights(), kb, self.multires, self.n_iter,
+                0.001, self.use_sigmoid, self.dtype,
+                self.decode_rays_per_tile,
+                jax.default_backend() != "tpu",  # interpret off-TPU
+                self.decode_bwd)
+        elif use_kernel:
             # per-image table mode: the voxel-feature lookup AND its
             # cotangent live inside the kernel (one-hot MXU against the
             # image's (G³, Cv) table block) — no gathered (N·kb, Cv) rows in
@@ -296,7 +317,7 @@ class LIDFModel(nn.Module):
             # images and Mosaic needs the ray-block sublane dim %8==0, so the
             # ray dim is padded per image to a tile multiple (masked rows
             # decode garbage and are sliced off).
-            t = max(8, (min(self.decode_rays_per_tile, r) // 8) * 8)
+            t = max(8, (min(self.decode_train_rays_per_tile, r) // 8) * 8)
             r_pad = -(-r // t) * t
             cells = inputs["pair_cell"]
             pos3 = pos.reshape(b, r, kb, 8)
@@ -460,7 +481,7 @@ class LIDFModel(nn.Module):
             if ray_major_ok:
                 off_b, logit_b = self._decode_ray_major(
                     sliced, vox_feat, roi, dir_e,
-                    use_kernel=self.use_pallas_decode)
+                    use_kernel=self.use_pallas_decode, train=train)
             else:
                 off_b, logit_b = self._decode_dense(sliced, vox_feat, roi, dir_e)
             pad = ((0, 0), (0, 0), (0, k - kb))

@@ -100,10 +100,13 @@ def split_l1(w1: jnp.ndarray, c_vox: int, c_roi: int, c_pos: int, c_dir: int):
 
 
 def _decode_rows(pair_vox, pe, ray_e1_off, ray_e1_prob, w, kb,
-                 *, n_iter, init_offset, use_sigmoid, dtype):
+                 *, n_iter, init_offset, use_sigmoid, dtype,
+                 return_l1=False):
     """Shared tile math. pair_vox (rows, Cv) ``dtype``; pe (rows, 102)
     ``dtype``; ray_e1_* (rows/kb, 4g) f32 (per-ray layer-1 partials);
-    w: split weights. Returns (offset (rows,), logit (rows,)) f32."""
+    w: split weights. Returns (offset (rows,), logit (rows,)) f32;
+    with ``return_l1`` also the two layer-1 pre-activations (e1_off incl.
+    bias + ray part, z1p likewise) for the save-l1 training backward."""
     rows = pair_vox.shape[0]
     act = lambda v: jnp.where(v > 0, v, LEAKY * v)
     # Mosaic requires 32-bit matmul accumulation ('Expected matmul acc to be
@@ -133,14 +136,17 @@ def _decode_rows(pair_vox, pe, ray_e1_off, ray_e1_prob, w, kb,
         offset = offset + dot(h, w["off_w4"], jnp.float32) + w["off_b4"]
 
     # --- termination-probability decoder (IMNet) ---------------------------
-    h = act(dot(pair_in, w["probp_w1"], jnp.float32) + bcast(ray_e1_prob)
-            + w["prob_b1"]).astype(dtype)
+    z1p = (dot(pair_in, w["probp_w1"], jnp.float32) + bcast(ray_e1_prob)
+           + w["prob_b1"])
+    h = act(z1p).astype(dtype)
     h = act(dot(h, w["prob_w2"]) + w["prob_b2"].astype(dtype))
     h = act(dot(h, w["prob_w3"]) + w["prob_b3"].astype(dtype))
     logit = dot(h, w["prob_w4"], jnp.float32) + w["prob_b4"]
 
     sq = jax.nn.sigmoid if use_sigmoid else (
         lambda x: jnp.maximum(jnp.minimum(x, 0.01 * x + 0.99), 0.01 * x))
+    if return_l1:
+        return sq(offset)[:, 0], sq(logit)[:, 0], e1_off, z1p
     return sq(offset)[:, 0], sq(logit)[:, 0]
 
 
@@ -220,7 +226,8 @@ def fused_ray_decode(pair_vox, pos, ray_feat, weights,
 
 def _fused_fwd_impl(pair_vox, pos, ray_feat, weights, kb, multires, n_iter,
                     init_offset, use_sigmoid, dtype, rays_per_tile, interpret,
-                    *, cell_ids=None, vox_table=None, tiles_per_image=None):
+                    *, cell_ids=None, vox_table=None, tiles_per_image=None,
+                    save_l1=False):
     """``pair_vox`` holds gathered (N·kb, Cv) rows — OR pass
     ``cell_ids`` (N·kb,) + ``vox_table`` (n_cells, Cv) and the lookup happens
     IN-kernel as a one-hot MXU matmul per tile (pair_vox then ignored):
@@ -264,7 +271,11 @@ def _fused_fwd_impl(pair_vox, pos, ray_feat, weights, kb, multires, n_iter,
     warrs = [jnp.atleast_2d(w[k]) for k in wkeys]
 
     def kernel(vox_ref, pos_ref, ray_ref, *rest):
-        wrefs, (off_ref, logit_ref) = rest[:-2], rest[-2:]
+        if save_l1:
+            wrefs = rest[:-4]
+            off_ref, logit_ref, e1_ref, z1p_ref = rest[-4:]
+        else:
+            wrefs, (off_ref, logit_ref) = rest[:-2], rest[-2:]
         if in_kernel_vox:
             table_ref, wrefs = wrefs[-1], wrefs[:-1]
         wd = {k: (r[0] if w[k].ndim == 1 else r[:])
@@ -284,12 +295,16 @@ def _fused_fwd_impl(pair_vox, pos, ray_feat, weights, kb, multires, n_iter,
         ray_e1_off = dot(ray_rows, wd["offr_w1"])
         ray_e1_prob = dot(ray_rows, wd["probr_w1"])
         pe = _posenc_pair(pos_ref[:], wd["pe_smat"], wd["pe_phase"], dtype)
-        off, logit = _decode_rows(pair_vox_t, pe, ray_e1_off,
-                                  ray_e1_prob, wd, kb, n_iter=n_iter,
-                                  init_offset=init_offset,
-                                  use_sigmoid=use_sigmoid, dtype=dtype)
-        off_ref[:] = off[:, None]
-        logit_ref[:] = logit[:, None]
+        out = _decode_rows(pair_vox_t, pe, ray_e1_off,
+                           ray_e1_prob, wd, kb, n_iter=n_iter,
+                           init_offset=init_offset,
+                           use_sigmoid=use_sigmoid, dtype=dtype,
+                           return_l1=save_l1)
+        off_ref[:] = out[0][:, None]
+        logit_ref[:] = out[1][:, None]
+        if save_l1:
+            e1_ref[:] = out[2].astype(dtype)
+            z1p_ref[:] = out[3].astype(dtype)
 
     w_specs = [pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
                for a in warrs]
@@ -325,7 +340,15 @@ def _fused_fwd_impl(pair_vox, pos, ray_feat, weights, kb, multires, n_iter,
     # (~20 KB/row measured from the compiler's own report) — raise the cap
     vmem_limit = None if rows_t <= 512 else min(
         int(rows_t * 24 * 1024 + 8 * 2 ** 20), 120 * 2 ** 20)
-    off, logit = pl.pallas_call(
+    n_pad_rows = (n_rays + pad_rays) * kb
+    if save_l1:
+        l1_spec = pl.BlockSpec((rows_t, g4), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+        l1_shape = jax.ShapeDtypeStruct((n_pad_rows, g4), dtype)
+        save_specs, save_shapes = (l1_spec, l1_spec), (l1_shape, l1_shape)
+    else:
+        save_specs, save_shapes = (), ()
+    outs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[vox_spec,
@@ -334,11 +357,10 @@ def _fused_fwd_impl(pair_vox, pos, ray_feat, weights, kb, multires, n_iter,
                   pl.BlockSpec((t, c_ray), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
                   *w_specs, *extra_specs],
-        out_specs=(out_spec, out_spec),
-        out_shape=(jax.ShapeDtypeStruct(((n_rays + pad_rays) * kb, 1),
-                                        jnp.float32),
-                   jax.ShapeDtypeStruct(((n_rays + pad_rays) * kb, 1),
-                                        jnp.float32)),
+        out_specs=(out_spec, out_spec, *save_specs),
+        out_shape=(jax.ShapeDtypeStruct((n_pad_rows, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((n_pad_rows, 1), jnp.float32),
+                   *save_shapes),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             vmem_limit_bytes=vmem_limit),
@@ -348,6 +370,9 @@ def _fused_fwd_impl(pair_vox, pos, ray_feat, weights, kb, multires, n_iter,
             transcendentals=(n_rays + pad_rays) * kb * 12 * multires),
         interpret=interpret,
     )(vox_in, pos, ray_feat, *warrs, *extra)
+    off, logit = outs[0], outs[1]
+    if save_l1:
+        return (off[:n_rows, 0], logit[:n_rows, 0], outs[2], outs[3])
     return off[:n_rows, 0], logit[:n_rows, 0]
 
 
@@ -410,7 +435,7 @@ def _fused_bwd(kb, multires, n_iter, init_offset, use_sigmoid, dtype,
     path under jax.vjp (recompute ≙ rematerialization — nothing saved from
     the kernel). 'kernel': fused backward kernel (_fused_bwd_impl)."""
     pair_vox, pos, ray_feat, weights = res
-    if bwd_impl == "kernel":
+    if bwd_impl in ("kernel", "kernel_save"):  # rows mode has no save path
         d_pv, d_rf, d_w = _fused_bwd_impl(
             pair_vox, pos, ray_feat, weights, g[0], g[1], kb, multires,
             n_iter, init_offset, use_sigmoid, dtype, rays_per_tile, interpret)
@@ -460,24 +485,36 @@ def fused_ray_decode_table(cells, pos, ray_feat, vox_table, weights,
 def _table_fwd(cells, pos, ray_feat, vox_table, weights, kb, tiles_per_image,
                multires, n_iter, init_offset, use_sigmoid, dtype,
                rays_per_tile, interpret, bwd_impl):
+    if bwd_impl == "kernel_save":
+        # forward additionally writes the two layer-1 pre-activations
+        # ((N·kb, 4g) each, ``dtype``) so the backward skips ~66% of its
+        # recompute matmuls for ~0.7 GB of HBM round-trip at production
+        # shapes — measured net win (BASELINE.md)
+        off, logit, e1, z1p = _fused_fwd_impl(
+            None, pos, ray_feat, weights, kb, multires, n_iter, init_offset,
+            use_sigmoid, dtype, rays_per_tile, interpret, cell_ids=cells,
+            vox_table=vox_table, tiles_per_image=tiles_per_image,
+            save_l1=True)
+        return (off, logit), (cells, pos, ray_feat, vox_table, weights,
+                              (e1, z1p))
     out = fused_ray_decode_table(cells, pos, ray_feat, vox_table, weights,
                                  kb, tiles_per_image, multires, n_iter,
                                  init_offset, use_sigmoid, dtype,
                                  rays_per_tile, interpret, bwd_impl)
-    return out, (cells, pos, ray_feat, vox_table, weights)
+    return out, (cells, pos, ray_feat, vox_table, weights, None)
 
 
 def _table_bwd(kb, tiles_per_image, multires, n_iter, init_offset,
                use_sigmoid, dtype, rays_per_tile, interpret, bwd_impl,
                res, g):
-    cells, pos, ray_feat, vox_table, weights = res
+    cells, pos, ray_feat, vox_table, weights, l1_saved = res
     f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
-    if bwd_impl == "kernel":
+    if bwd_impl in ("kernel", "kernel_save"):
         d_table, d_rf, d_w = _fused_bwd_impl(
             None, pos, ray_feat, weights, g[0], g[1], kb, multires, n_iter,
             init_offset, use_sigmoid, dtype, rays_per_tile, interpret,
             cell_ids=cells, vox_table=vox_table,
-            tiles_per_image=tiles_per_image)
+            tiles_per_image=tiles_per_image, l1_saved=l1_saved)
         return f0(cells), jnp.zeros_like(pos), d_rf, d_table, d_w
 
     # XLA fallback: globalize the local ids and differentiate the
@@ -506,7 +543,8 @@ fused_ray_decode_table.defvjp(_table_fwd, _table_bwd)
 def _fused_bwd_impl(pair_vox, pos, ray_feat, weights, g_off, g_logit,
                     kb, multires, n_iter, init_offset, use_sigmoid, dtype,
                     rays_per_tile, interpret,
-                    *, cell_ids=None, vox_table=None, tiles_per_image=None):
+                    *, cell_ids=None, vox_table=None, tiles_per_image=None,
+                    l1_saved=None):
     """Fused backward kernel: per tile, recompute the forward in VMEM
     (activations never touch HBM — for the production shapes h1 alone would
     be ~330 MB), then backprop both MLPs. Weight-gradient accumulators use
@@ -525,6 +563,7 @@ def _fused_bwd_impl(pair_vox, pos, ray_feat, weights, g_off, g_logit,
     scatter-add that used to fold d_rows into the table disappears.
     """
     per_image = tiles_per_image is not None
+    has_l1 = l1_saved is not None
     if per_image:
         n_tab, c_vox = vox_table.shape
         n_rows = cell_ids.shape[0]
@@ -584,6 +623,8 @@ def _fused_bwd_impl(pair_vox, pos, ray_feat, weights, g_off, g_logit,
         return jnp.where((x > 0) & (x < 1), d, 0.01 * d)
 
     def kernel(vox_ref, pos_ref, ray_ref, goff_ref, glogit_ref, *rest):
+        if has_l1:
+            (e1_ref, z1p_ref), rest = rest[:2], rest[2:]
         wrefs = rest[:len(wkeys)]
         if per_image:
             table_ref, rest = rest[len(wkeys)], rest[len(wkeys) + 1:]
@@ -618,16 +659,25 @@ def _fused_bwd_impl(pair_vox, pos, ray_feat, weights, g_off, g_logit,
         ray_rows = ray_ref[:]
         pe = _posenc_pair(pos_ref[:], wd["pe_smat"], wd["pe_phase"], dtype)
         pair_in = jnp.concatenate([pair_vox_t, pe], axis=-1)
-        ray_e1_off = dot(ray_rows, wd["offr_w1"])
-        ray_e1_prob = dot(ray_rows, wd["probr_w1"])
 
         def bcast(ray_part):
             return jnp.broadcast_to(
                 ray_part.reshape(t, 1, ray_part.shape[1]),
                 (t, kb, ray_part.shape[1])).reshape(rows_t, ray_part.shape[1])
 
-        e1_off = (dot(pair_in, wd["offp_w1"]) + bcast(ray_e1_off)
-                  + wd["off_b1"])
+        if has_l1:
+            # layer-1 pre-activations saved by the forward: skip BOTH big
+            # layer-1 matmuls and the per-ray partials (~66% of the
+            # recompute FLOPs); pair_in is still needed for weight grads
+            e1_off = e1_ref[:].astype(jnp.float32)
+            z1p = z1p_ref[:].astype(jnp.float32)
+        else:
+            ray_e1_off = dot(ray_rows, wd["offr_w1"])
+            ray_e1_prob = dot(ray_rows, wd["probr_w1"])
+            e1_off = (dot(pair_in, wd["offp_w1"]) + bcast(ray_e1_off)
+                      + wd["off_b1"])
+            z1p = (dot(pair_in, wd["probp_w1"]) + bcast(ray_e1_prob)
+                   + wd["prob_b1"])
         a_vec = dot(wd["off_enc_w"], wd["offx_w1"])            # (1, g)
         c_vec = dot(wd["off_enc_b"][None, :], wd["offx_w1"])[0]
         offset = jnp.full((rows_t, 1), init_offset, jnp.float32)
@@ -639,8 +689,7 @@ def _fused_bwd_impl(pair_vox, pos, ray_feat, weights, g_off, g_logit,
             saved.append((offset, h1, h2, h3))
             offset = offset + dot(h3, wd["off_w4"]) + wd["off_b4"]
 
-        h1p = act(dot(pair_in, wd["probp_w1"]) + bcast(ray_e1_prob)
-                  + wd["prob_b1"]).astype(dtype)
+        h1p = act(z1p).astype(dtype)
         h2p = act(dot(h1p, wd["prob_w2"]) + wd["prob_b2"].astype(dtype))
         h3p = act(dot(h2p, wd["prob_w3"]) + wd["prob_b3"].astype(dtype))
         logit = dot(h3p, wd["prob_w4"]) + wd["prob_b4"]
@@ -758,6 +807,12 @@ def _fused_bwd_impl(pair_vox, pos, ray_feat, weights, g_off, g_logit,
         first_out_shape = jax.ShapeDtypeStruct((n_pad_rows, c_vox),
                                                jnp.float32)
         first_bytes = n_pad_rows * c_vox * 6
+    if has_l1:
+        e1_in, z1p_in = l1_saved
+        l1_ins = [e1_in, z1p_in]
+        l1_specs = [row_spec(e1_in.shape[1]), row_spec(z1p_in.shape[1])]
+    else:
+        l1_ins, l1_specs = [], []
     vmem_limit = min(int(rows_t * 64 * 1024 + 24 * 2 ** 20), 128 * 2 ** 20)
     outs = pl.pallas_call(
         kernel,
@@ -765,7 +820,8 @@ def _fused_bwd_impl(pair_vox, pos, ray_feat, weights, g_off, g_logit,
         in_specs=[first_in_spec, row_spec(8),
                   pl.BlockSpec((t, c_ray), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-                  row_spec(1), row_spec(1), *w_specs, *extra_in_specs],
+                  row_spec(1), row_spec(1), *l1_specs, *w_specs,
+                  *extra_in_specs],
         out_specs=(first_out_spec,
                    pl.BlockSpec((t, c_ray), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM),
@@ -783,7 +839,7 @@ def _fused_bwd_impl(pair_vox, pos, ray_feat, weights, g_off, g_logit,
             transcendentals=n_pad_rows * 12 * multires),
         interpret=interpret,
     )(vox_in, pos, ray_feat, g_off[:, None].astype(jnp.float32),
-      g_logit[:, None].astype(jnp.float32), *warrs, *extra_ins)
+      g_logit[:, None].astype(jnp.float32), *l1_ins, *warrs, *extra_ins)
 
     d_vox_rows, d_ray_rows = outs[0], outs[1]
     da = dict(zip([n for n, _ in acc_shapes], outs[2:]))

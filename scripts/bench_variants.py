@@ -30,18 +30,22 @@ VARIANTS = {
     "per_ray_xla": (8, "per_ray", False, "xla"),
     "per_ray_pallas": (8, "per_ray", True, "xla"),
     "per_ray_pallas_kbwd": (8, "per_ray", True, "kernel"),
+    "per_ray_pallas_ksave": (8, "per_ray", True, "kernel_save"),
     "per_ray4_pallas": (4, "per_ray", True, "xla"),
     "dense_xla": (0, "per_ray", False, "xla"),
 }
 
 
-def build(budget, mode, pallas, decode_bwd="xla"):
+def build(budget, mode, pallas, decode_bwd="xla", tile=0):
+    tpu = {"compute_dtype": "bfloat16", "pairs_budget_per_ray": budget,
+           "pairs_budget_mode": mode, "use_pallas_decode": pallas,
+           "decode_bwd": decode_bwd}
+    if tile:
+        tpu["decode_rays_per_tile"] = tile
     cfg = load_config(overrides={
         "mask_type": "all",
         "dataset": {"img_height": H, "img_width": W},
-        "tpu": {"compute_dtype": "bfloat16", "pairs_budget_per_ray": budget,
-                "pairs_budget_mode": mode, "use_pallas_decode": pallas,
-                "decode_bwd": decode_bwd},
+        "tpu": tpu,
     })
     static = build_static(cfg)
     return cfg, static, build_lidf(cfg, static)
@@ -52,6 +56,8 @@ def main():
     ap.add_argument("--variants", default="per_ray_xla,per_ray_pallas")
     ap.add_argument("--train", action="store_true",
                     help="also time the train step (fwd+bwd+adam)")
+    ap.add_argument("--tile", type=int, default=0,
+                    help="override tpu.decode_rays_per_tile")
     ap.add_argument("--serial", action="store_true",
                     help="train timing with state threaded through the loop "
                          "(true serial step; default is the pipelined upper "
@@ -63,7 +69,7 @@ def main():
 
     for name in args.variants.split(","):
         budget, mode, pallas, decode_bwd = VARIANTS[name]
-        cfg, static, model = build(budget, mode, pallas, decode_bwd)
+        cfg, static, model = build(budget, mode, pallas, decode_bwd, args.tile)
         prep = jax.jit(lambda b, kk: prepare_inputs(static, b, kk, train=True))
         inputs = prep(batch, jax.random.key(0))
         variables = jax.jit(lambda kk, i: model.init(

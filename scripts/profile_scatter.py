@@ -110,6 +110,20 @@ def main():
         lambda vv: (rank_gather(b_, m, st, vv) ** 2).sum())(jit1(k, v)).sum(),
         base, mask, start, values)
 
+    # the ROI-pool backward shape: (B·R, 128) rows scatter-added into the
+    # (B·ph2·pw2, 128) pooled map (ops/roi_align.py roi_window_pool vjp)
+    n_tgt = 4 * 233 * 313
+    lin = jnp.asarray(
+        np.sort(np.random.default_rng(3).integers(0, n_tgt, B * R)),
+        jnp.int32)
+    d_rows = jax.random.uniform(jax.random.key(5), (B * R, 128), jnp.float32)
+
+    def roi_bwd_scatter(k, d):
+        tgt = jnp.zeros((n_tgt, 128), jnp.float32)
+        return tgt.at[lin].add(jit1(k, d)).sum()
+
+    slope("roi bwd scatter 128ch", roi_bwd_scatter, d_rows)
+
 
 if __name__ == "__main__":
     main()

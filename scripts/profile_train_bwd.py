@@ -96,7 +96,9 @@ def main():
                     vox_feat = sg(vox_feat)
                 if ablate in ("sg_feat", "sg_trunk"):
                     feat_map = sg(feat_map)
-                out = model.apply(v, inputs, feat_map, vox_feat, False, False,
+                # decode train=True: pick the training decode path (per-image
+                # table kernel) rather than the serving rows path
+                out = model.apply(v, inputs, feat_map, vox_feat, True, False,
                                   method=LIDFModel.decode_rays)
                 if ablate == "loss_min":
                     slot = inputs["miss_slot"]

@@ -172,9 +172,11 @@ def test_table_variant_matches_gathered(data):
             return jnp.sum(off * 1.3 + logit * 0.7)
         return jax.grad(f, argnums=(0, 1, 2))(ray_feat, table, w)
 
-    for a, b in zip(jax.tree.leaves(loss("kernel")), jax.tree.leaves(loss("xla"))):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-4, atol=2e-5)
+    g_xla = jax.tree.leaves(loss("xla"))
+    for impl in ("kernel", "kernel_save"):
+        for a, b in zip(jax.tree.leaves(loss(impl)), g_xla):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=2e-5)
 
 
 def test_bwd_kernel_grads_match_xla(data):
