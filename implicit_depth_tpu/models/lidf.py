@@ -627,6 +627,94 @@ def compose_pred_image(base_flat: jnp.ndarray, values: jnp.ndarray,
                            inputs["miss_slot"])
 
 
+def surf_smooth_terms(inputs: Dict[str, jnp.ndarray], pred_pos: jnp.ndarray,
+                      *, train: bool, img_hw: tuple, hard_neg: bool,
+                      hard_neg_ratio: float, want_smooth: bool):
+    """Surface-normal + smoothness loss terms (pipeline.py:492-546), shared
+    by ``lidf_loss`` and ``refine_loss``.
+
+    Returns (surf_norm_loss, angle_err, smooth_loss); smooth_loss is 0.0 when
+    ``want_smooth`` is False (the gathers/reductions are statically gated).
+
+    TPU path: every image tensor here is (…, 3)-minor; NHWC leaves 125 of
+    the 128 VPU lanes idle on every elementwise op of the branch. The loss
+    images are therefore transposed ONCE to channel-planar (B, 3, H, W)
+    (the reference's own NCHW layout, point_utils.py:210-235), the normals/
+    cos/dist algebra runs on (B, H, W) planes, and the per-ray gathers
+    disappear: the miss rays are exactly the in-window pixels, so the
+    masked-mean over ray slots equals the masked-mean over the in-window
+    pixel mask (hard-neg top-k is defined over ray slots — that path still
+    gathers per-ray scalars, which is cheap).
+
+    Hand-built inputs without ``miss_mask_flat`` (oracle/parity tests) use
+    the original NHWC slot-gather form.
+    """
+    from implicit_depth_tpu.geometry.normals import (
+        surface_normals,
+        surface_normals_planar,
+    )
+
+    h, w = img_hw
+    slot = inputs["miss_slot"]
+    b = slot.shape[0]
+    reduce = ((lambda v, m: hard_neg_mean(v, m, hard_neg_ratio))
+              if hard_neg else masked_mean)
+    base = inputs["xyz_flat"] if train else inputs["xyz_corrupt_flat"]
+    # train: gt_pos IS take(xyz_flat, miss_idx) (prepare_inputs), so writing
+    # it back into xyz_flat is the identity — skip the write entirely
+    gt_rows = base if train else compose_pred_image(
+        base, inputs["gt_pos"], inputs, train)
+    pr_rows = compose_pred_image(base, pred_pos, inputs, train)
+
+    if "miss_mask_flat" not in inputs:  # hand-built inputs (tests/oracles)
+        gt_n, _, _ = surface_normals(gt_rows.reshape(b, h, w, 3))
+        pr_n, dx, dy = surface_normals(pr_rows.reshape(b, h, w, 3))
+        take = lambda img_flat: jnp.take_along_axis(
+            img_flat, inputs["miss_idx"][..., None], axis=1)
+        cos = jnp.sum(take(gt_n.reshape(b, -1, 3))
+                      * take(pr_n.reshape(b, -1, 3)), -1)
+        surf = reduce((1.0 - cos) / 2.0, slot)
+        angle = masked_mean(jnp.arccos(jnp.clip(cos, -1, 1)), slot) / np.pi * 180.0
+        if want_smooth:
+            dx2 = take(jnp.sum(dx * dx, -1).reshape(b, -1, 1))[..., 0]
+            dy2 = take(jnp.sum(dy * dy, -1).reshape(b, -1, 1))[..., 0]
+            smooth = reduce(dx2, slot) + reduce(dy2, slot)
+        else:
+            smooth = jnp.float32(0.0)
+        return surf, angle, smooth
+
+    to_pl = lambda rows: rows.reshape(b, h, w, 3).transpose(0, 3, 1, 2)
+    gt_n, _, _ = surface_normals_planar(to_pl(gt_rows))
+    pr_n, dx, dy = surface_normals_planar(to_pl(pr_rows))
+    cos_img = jnp.sum(gt_n * pr_n, axis=1).reshape(b, h * w)
+    dist_img = (1.0 - cos_img) / 2.0
+    if train:
+        # the miss rays are window slots [start, start+R) of the mask's
+        # nonzero list (sample_masked_window) — recover the pixel set
+        rank = jnp.cumsum(inputs["miss_mask_flat"].astype(jnp.int32), 1) - 1
+        j = rank - inputs["miss_start"][:, None]
+        in_win = inputs["miss_mask_flat"] & (j >= 0) & (j < slot.shape[1])
+    else:
+        in_win = slot  # eval rays are pixel-aligned (miss_idx == arange)
+    angle = (masked_mean(jnp.arccos(jnp.clip(cos_img, -1, 1)), in_win)
+             / np.pi * 180.0)
+    if want_smooth:
+        dx2 = jnp.sum(dx * dx, axis=1).reshape(b, -1)
+        dy2 = jnp.sum(dy * dy, axis=1).reshape(b, -1)
+    if hard_neg:
+        # hard-neg top-k is defined over the (B·R) ray slots — keep those
+        # semantics with per-ray scalar gathers of the plane values
+        take1 = lambda im: jnp.take_along_axis(im, inputs["miss_idx"], axis=1)
+        surf = reduce(take1(dist_img), slot)
+        smooth = (reduce(take1(dx2), slot) + reduce(take1(dy2), slot)
+                  if want_smooth else jnp.float32(0.0))
+    else:
+        surf = masked_mean(dist_img, in_win)
+        smooth = (masked_mean(dx2, in_win) + masked_mean(dy2, in_win)
+                  if want_smooth else jnp.float32(0.0))
+    return surf, angle, smooth
+
+
 def lidf_loss(inputs: Dict[str, jnp.ndarray],
               outputs: Dict[str, jnp.ndarray],
               *,
@@ -641,11 +729,7 @@ def lidf_loss(inputs: Dict[str, jnp.ndarray],
               hard_neg: bool = False,
               hard_neg_ratio: float = 0.1) -> Dict[str, jnp.ndarray]:
     """compute_loss parity (pipeline.py:468-567) with masked static shapes."""
-    from implicit_depth_tpu.geometry.normals import surface_normals
-
-    h, w = img_hw
     slot = inputs["miss_slot"]
-    b = slot.shape[0]
     gt_pos, pred_pos = inputs["gt_pos"], outputs["pred_pos"]
 
     reduce = ((lambda v, m: hard_neg_mean(v, m, hard_neg_ratio))
@@ -665,31 +749,15 @@ def lidf_loss(inputs: Dict[str, jnp.ndarray],
     ce = -jnp.take_along_axis(log_sm, gt_slot[..., None], axis=-1)[..., 0]
     prob_loss = reduce(ce, slot & has_label)
 
-    # surface-normal + smoothness (pipeline.py:492-546)
-    base = inputs["xyz_flat"] if train else inputs["xyz_corrupt_flat"]
-    # train: gt_pos IS take(xyz_flat, miss_idx) (prepare_inputs), so writing
-    # it back into xyz_flat is the identity — skip the write entirely
-    gt_img = base if train else compose_pred_image(base, gt_pos, inputs, train)
-    pr_img = compose_pred_image(base, pred_pos, inputs, train)
-    gt_n, _, _ = surface_normals(gt_img.reshape(b, h, w, 3))
-    pr_n, dx, dy = surface_normals(pr_img.reshape(b, h, w, 3))
-    take = lambda img_flat: jnp.take_along_axis(
-        img_flat, inputs["miss_idx"][..., None], axis=1)
-    cos = jnp.sum(take(gt_n.reshape(b, -1, 3)) * take(pr_n.reshape(b, -1, 3)), -1)
-    surf_dist = (1.0 - cos) / 2.0
-    surf_norm_loss = reduce(surf_dist, slot)
-    angle_err = masked_mean(jnp.arccos(jnp.clip(cos, -1, 1)), slot) / np.pi * 180.0
-
-    # statically gated: smooth_w is a config float and the dx/dy gathers +
-    # reductions are real per-step cost when the term is off. A literal
-    # smooth_on=True (oracle/parity callers) still computes the metric; the
-    # trainers pass a traced epoch flag, which defers to the weight.
-    if smooth_w or smooth_on is True:
-        dx2 = take(jnp.sum(dx * dx, -1).reshape(b, -1, 1))[..., 0]
-        dy2 = take(jnp.sum(dy * dy, -1).reshape(b, -1, 1))[..., 0]
-        smooth_loss = reduce(dx2, slot) + reduce(dy2, slot)
-    else:
-        smooth_loss = jnp.float32(0.0)
+    # surface-normal + smoothness (pipeline.py:492-546). The smooth term is
+    # statically gated: smooth_w is a config float and its gathers/reductions
+    # are real per-step cost when off. A literal smooth_on=True (oracle/
+    # parity callers) still computes the metric; the trainers pass a traced
+    # epoch flag, which defers to the weight.
+    surf_norm_loss, angle_err, smooth_loss = surf_smooth_terms(
+        inputs, pred_pos, train=train, img_hw=img_hw, hard_neg=hard_neg,
+        hard_neg_ratio=hard_neg_ratio,
+        want_smooth=bool(smooth_w) or smooth_on is True)
 
     loss_net = (pos_w * pos_loss + prob_w * prob_loss
                 + surf_norm_w * jnp.asarray(surf_norm_on, jnp.float32) * surf_norm_loss

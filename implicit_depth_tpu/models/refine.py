@@ -157,17 +157,13 @@ def refine_loss(inputs, pred_pos_refine, *, train, img_hw,
                 surf_norm_on=True, smooth_on=True,
                 hard_neg=False, hard_neg_ratio=0.1) -> Dict[str, jnp.ndarray]:
     """Stage-2 loss (pipeline.py:760-919): position + normals, no prob CE."""
-    import numpy as np
-    from implicit_depth_tpu.geometry.normals import surface_normals
     from implicit_depth_tpu.models.lidf import (
-        compose_pred_image,
         hard_neg_mean,
         masked_mean,
+        surf_smooth_terms,
     )
 
-    h, w = img_hw
     slot = inputs["miss_slot"]
-    b = slot.shape[0]
     gt_pos = inputs["gt_pos"]
     reduce = ((lambda v, m: hard_neg_mean(v, m, hard_neg_ratio))
               if hard_neg else masked_mean)
@@ -175,23 +171,11 @@ def refine_loss(inputs, pred_pos_refine, *, train, img_hw,
     pos_l1 = jnp.mean(jnp.abs(pred_pos_refine - gt_pos), axis=-1)
     pos_loss = reduce(pos_l1, slot)
 
-    base = inputs["xyz_flat"] if train else inputs["xyz_corrupt_flat"]
-    # train: gt_pos ≡ take(xyz_flat, miss_idx) — the write is the identity
-    gt_img = base if train else compose_pred_image(base, gt_pos, inputs, train)
-    pr_img = compose_pred_image(base, pred_pos_refine, inputs, train)
-    gt_n, _, _ = surface_normals(gt_img.reshape(b, h, w, 3))
-    pr_n, dx, dy = surface_normals(pr_img.reshape(b, h, w, 3))
-    take = lambda img_flat: jnp.take_along_axis(
-        img_flat, inputs["miss_idx"][..., None], axis=1)
-    cos = jnp.sum(take(gt_n.reshape(b, -1, 3)) * take(pr_n.reshape(b, -1, 3)), -1)
-    surf_norm_loss = reduce((1.0 - cos) / 2.0, slot)
-    angle_err = masked_mean(jnp.arccos(jnp.clip(cos, -1, 1)), slot) / np.pi * 180.0
-    if smooth_w or smooth_on is True:  # statically gated (see lidf_loss)
-        dx2 = take(jnp.sum(dx * dx, -1).reshape(b, -1, 1))[..., 0]
-        dy2 = take(jnp.sum(dy * dy, -1).reshape(b, -1, 1))[..., 0]
-        smooth_loss = reduce(dx2, slot) + reduce(dy2, slot)
-    else:
-        smooth_loss = jnp.float32(0.0)
+    # statically-gated smooth term, planar normals branch (see lidf_loss)
+    surf_norm_loss, angle_err, smooth_loss = surf_smooth_terms(
+        inputs, pred_pos_refine, train=train, img_hw=img_hw,
+        hard_neg=hard_neg, hard_neg_ratio=hard_neg_ratio,
+        want_smooth=bool(smooth_w) or smooth_on is True)
 
     loss_net = (pos_w * pos_loss
                 + surf_norm_w * jnp.asarray(surf_norm_on, jnp.float32) * surf_norm_loss

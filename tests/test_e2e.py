@@ -224,3 +224,30 @@ def test_refine_step(stage1, batch):
     diff = jax.tree.map(lambda a, b: float(np.abs(np.asarray(a) - b).max()),
                         state2.params, params0)
     assert max(jax.tree.leaves(diff)) > 0
+
+
+def test_surf_smooth_planar_matches_nhwc(stage1, batch):
+    """The planar (B,3,H,W) surf-norm branch ≡ the NHWC slot-gather form on
+    real prepare_inputs outputs — train and eval, plain and hard-neg. The
+    NHWC reference path is selected by dropping the window keys (the
+    hand-built-inputs fallback)."""
+    from implicit_depth_tpu.models.lidf import surf_smooth_terms
+
+    cfg, static, lidf, refine, inp, variables, out = stage1
+
+    for train in (True, False):
+        inputs = inp if train else _prep(static, batch, train=False)
+        key = jax.random.key(7)
+        pred = inputs["gt_pos"] + 0.02 * jax.random.normal(
+            key, inputs["gt_pos"].shape)
+        nhwc_inputs = {k: v for k, v in inputs.items()
+                       if k not in ("miss_mask_flat", "miss_start")}
+        for hard_neg in (False, True):
+            f = jax.jit(functools.partial(
+                surf_smooth_terms, train=train, img_hw=(H, W),
+                hard_neg=hard_neg, hard_neg_ratio=0.1, want_smooth=True))
+            s_pl, a_pl, m_pl = f(inputs, pred)
+            s_nh, a_nh, m_nh = f(nhwc_inputs, pred)
+            np.testing.assert_allclose(s_pl, s_nh, rtol=2e-5, atol=1e-7)
+            np.testing.assert_allclose(a_pl, a_nh, rtol=2e-5, atol=2e-4)
+            np.testing.assert_allclose(m_pl, m_nh, rtol=2e-5, atol=1e-7)
