@@ -314,7 +314,7 @@ _SUPPORTED_SELECTORS = {
     # optimizer_name is validated in train/state.make_optimizer (it accepts
     # any case and adamw); scheduler has a single supported implementation
     ("training", "scheduler_name"): ("StepLR",),
-    ("tpu", "decode_bwd"): ("xla", "kernel", "kernel_save"),
+    ("tpu", "decode_bwd"): ("xla", "kernel", "kernel_save", "kernel_save_all"),
 }
 
 

@@ -99,14 +99,35 @@ def split_l1(w1: jnp.ndarray, c_vox: int, c_roi: int, c_pos: int, c_dir: int):
     return w_pair, w_ray
 
 
+def _save_layout(save_mode, g, g2, g3, n_iter, dtype):
+    """[(name, cols, dtype), ...] of the activations the forward saves for
+    the training backward. 'l1': the two layer-1 pre-activations (skips the
+    two big layer-1 matmuls in the backward recompute). 'all': additionally
+    every h2/h3 and the (rows, 1) pre-squash offsets/logit — the backward
+    then recomputes NO matmuls at all (h1 is elementwise from e1), trading
+    ~0.75 GB of extra bf16 HBM round-trip for ~157 GFLOP of recompute at
+    production shapes."""
+    if save_mode == "l1":
+        return [("e1", g, dtype), ("z1p", g, dtype)]
+    if save_mode == "all":
+        lay = [("e1", g, dtype), ("z1p", g, dtype)]
+        for i in range(n_iter):
+            lay += [(f"off{i}", 1, jnp.float32),
+                    (f"h2_{i}", g2, dtype), (f"h3_{i}", g3, dtype)]
+        lay += [("off_fin", 1, jnp.float32), ("h2p", g2, dtype),
+                ("h3p", g3, dtype), ("logit", 1, jnp.float32)]
+        return lay
+    return []
+
+
 def _decode_rows(pair_vox, pe, ray_e1_off, ray_e1_prob, w, kb,
                  *, n_iter, init_offset, use_sigmoid, dtype,
-                 return_l1=False):
+                 save_mode=None):
     """Shared tile math. pair_vox (rows, Cv) ``dtype``; pe (rows, 102)
     ``dtype``; ray_e1_* (rows/kb, 4g) f32 (per-ray layer-1 partials);
     w: split weights. Returns (offset (rows,), logit (rows,)) f32;
-    with ``return_l1`` also the two layer-1 pre-activations (e1_off incl.
-    bias + ray part, z1p likewise) for the save-l1 training backward."""
+    with ``save_mode`` also a dict of saved activations (``_save_layout``)
+    for the save-mode training backwards."""
     rows = pair_vox.shape[0]
     act = lambda v: jnp.where(v > 0, v, LEAKY * v)
     # Mosaic requires 32-bit matmul accumulation ('Expected matmul acc to be
@@ -123,30 +144,36 @@ def _decode_rows(pair_vox, pe, ray_e1_off, ray_e1_prob, w, kb,
         return jnp.broadcast_to(ray_part.reshape(t, 1, g4),
                                 (t, kb, g4)).reshape(rows, g4)
 
+    saves = {}
+
     # --- offset decoder (IEF, layer-1 hoisted across iterations) ----------
     e1_off = (dot(pair_in, w["offp_w1"], jnp.float32) + bcast(ray_e1_off)
               + w["off_b1"])
     a_vec = dot(w["off_enc_w"], w["offx_w1"], jnp.float32)       # (1, 4g)
     c_vec = dot(w["off_enc_b"][None, :], w["offx_w1"], jnp.float32)[0]
     offset = jnp.full((rows, 1), init_offset, jnp.float32)
-    for _ in range(n_iter):
+    for i in range(n_iter):
+        saves[f"off{i}"] = offset
         h = act(e1_off + offset * a_vec + c_vec).astype(dtype)
-        h = act(dot(h, w["off_w2"]) + w["off_b2"].astype(dtype))
-        h = act(dot(h, w["off_w3"]) + w["off_b3"].astype(dtype))
-        offset = offset + dot(h, w["off_w4"], jnp.float32) + w["off_b4"]
+        h2 = act(dot(h, w["off_w2"]) + w["off_b2"].astype(dtype))
+        h3 = act(dot(h2, w["off_w3"]) + w["off_b3"].astype(dtype))
+        saves[f"h2_{i}"], saves[f"h3_{i}"] = h2, h3
+        offset = offset + dot(h3, w["off_w4"], jnp.float32) + w["off_b4"]
 
     # --- termination-probability decoder (IMNet) ---------------------------
     z1p = (dot(pair_in, w["probp_w1"], jnp.float32) + bcast(ray_e1_prob)
            + w["prob_b1"])
     h = act(z1p).astype(dtype)
-    h = act(dot(h, w["prob_w2"]) + w["prob_b2"].astype(dtype))
-    h = act(dot(h, w["prob_w3"]) + w["prob_b3"].astype(dtype))
-    logit = dot(h, w["prob_w4"], jnp.float32) + w["prob_b4"]
+    h2p = act(dot(h, w["prob_w2"]) + w["prob_b2"].astype(dtype))
+    h3p = act(dot(h2p, w["prob_w3"]) + w["prob_b3"].astype(dtype))
+    logit = dot(h3p, w["prob_w4"], jnp.float32) + w["prob_b4"]
 
     sq = jax.nn.sigmoid if use_sigmoid else (
         lambda x: jnp.maximum(jnp.minimum(x, 0.01 * x + 0.99), 0.01 * x))
-    if return_l1:
-        return sq(offset)[:, 0], sq(logit)[:, 0], e1_off, z1p
+    if save_mode:
+        saves.update(e1=e1_off, z1p=z1p, off_fin=offset,
+                     h2p=h2p, h3p=h3p, logit=logit)
+        return sq(offset)[:, 0], sq(logit)[:, 0], saves
     return sq(offset)[:, 0], sq(logit)[:, 0]
 
 
@@ -227,7 +254,7 @@ def fused_ray_decode(pair_vox, pos, ray_feat, weights,
 def _fused_fwd_impl(pair_vox, pos, ray_feat, weights, kb, multires, n_iter,
                     init_offset, use_sigmoid, dtype, rays_per_tile, interpret,
                     *, cell_ids=None, vox_table=None, tiles_per_image=None,
-                    save_l1=False):
+                    save_mode=None):
     """``pair_vox`` holds gathered (N·kb, Cv) rows — OR pass
     ``cell_ids`` (N·kb,) + ``vox_table`` (n_cells, Cv) and the lookup happens
     IN-kernel as a one-hot MXU matmul per tile (pair_vox then ignored):
@@ -269,13 +296,18 @@ def _fused_fwd_impl(pair_vox, pos, ray_feat, weights, kb, multires, n_iter,
 
     wkeys = sorted(w)
     warrs = [jnp.atleast_2d(w[k]) for k in wkeys]
+    g4 = weights["off_w1"].shape[1]
+    g2_, g3_ = weights["off_w2"].shape[1], weights["off_w3"].shape[1]
+    save_lay = _save_layout(save_mode, g4, g2_, g3_, n_iter, dtype)
 
     def kernel(vox_ref, pos_ref, ray_ref, *rest):
-        if save_l1:
-            wrefs = rest[:-4]
-            off_ref, logit_ref, e1_ref, z1p_ref = rest[-4:]
+        if save_lay:
+            wrefs = rest[:-(2 + len(save_lay))]
+            off_ref, logit_ref = rest[-(2 + len(save_lay)):-len(save_lay)]
+            save_refs = rest[-len(save_lay):]
         else:
             wrefs, (off_ref, logit_ref) = rest[:-2], rest[-2:]
+            save_refs = ()
         if in_kernel_vox:
             table_ref, wrefs = wrefs[-1], wrefs[:-1]
         wd = {k: (r[0] if w[k].ndim == 1 else r[:])
@@ -299,18 +331,19 @@ def _fused_fwd_impl(pair_vox, pos, ray_feat, weights, kb, multires, n_iter,
                            ray_e1_prob, wd, kb, n_iter=n_iter,
                            init_offset=init_offset,
                            use_sigmoid=use_sigmoid, dtype=dtype,
-                           return_l1=save_l1)
+                           save_mode=save_mode)
         off_ref[:] = out[0][:, None]
         logit_ref[:] = out[1][:, None]
-        if save_l1:
-            e1_ref[:] = out[2].astype(dtype)
-            z1p_ref[:] = out[3].astype(dtype)
+        if save_lay:
+            saves = out[2]
+            for (name, cols, sdt), ref in zip(save_lay, save_refs):
+                val = saves[name]
+                ref[:] = (val if cols > 1 else val[:, :1]).astype(sdt)
 
     w_specs = [pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
                for a in warrs]
     out_spec = pl.BlockSpec((rows_t, 1), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    g4 = weights["off_w1"].shape[1]
     flops = 2 * (n_rays + pad_rays) * (
         kb * ((c_vox + c_pos) * g4 * 2
               + (n_iter + 1) * (g4 * g4 // 2 + (g4 // 2) * (g4 // 4) + g4 // 4))
@@ -341,13 +374,12 @@ def _fused_fwd_impl(pair_vox, pos, ray_feat, weights, kb, multires, n_iter,
     vmem_limit = None if rows_t <= 512 else min(
         int(rows_t * 24 * 1024 + 8 * 2 ** 20), 120 * 2 ** 20)
     n_pad_rows = (n_rays + pad_rays) * kb
-    if save_l1:
-        l1_spec = pl.BlockSpec((rows_t, g4), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)
-        l1_shape = jax.ShapeDtypeStruct((n_pad_rows, g4), dtype)
-        save_specs, save_shapes = (l1_spec, l1_spec), (l1_shape, l1_shape)
-    else:
-        save_specs, save_shapes = (), ()
+    save_specs = tuple(
+        pl.BlockSpec((rows_t, cols), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM) for _, cols, _ in save_lay)
+    save_shapes = tuple(
+        jax.ShapeDtypeStruct((n_pad_rows, cols), sdt)
+        for _, cols, sdt in save_lay)
     outs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -371,8 +403,8 @@ def _fused_fwd_impl(pair_vox, pos, ray_feat, weights, kb, multires, n_iter,
         interpret=interpret,
     )(vox_in, pos, ray_feat, *warrs, *extra)
     off, logit = outs[0], outs[1]
-    if save_l1:
-        return (off[:n_rows, 0], logit[:n_rows, 0], outs[2], outs[3])
+    if save_lay:
+        return (off[:n_rows, 0], logit[:n_rows, 0], tuple(outs[2:]))
     return off[:n_rows, 0], logit[:n_rows, 0]
 
 
@@ -485,18 +517,21 @@ def fused_ray_decode_table(cells, pos, ray_feat, vox_table, weights,
 def _table_fwd(cells, pos, ray_feat, vox_table, weights, kb, tiles_per_image,
                multires, n_iter, init_offset, use_sigmoid, dtype,
                rays_per_tile, interpret, bwd_impl):
-    if bwd_impl == "kernel_save":
-        # forward additionally writes the two layer-1 pre-activations
-        # ((N·kb, 4g) each, ``dtype``) so the backward skips ~66% of its
-        # recompute matmuls for ~0.7 GB of HBM round-trip at production
-        # shapes — measured net win (BASELINE.md)
-        off, logit, e1, z1p = _fused_fwd_impl(
+    if bwd_impl in ("kernel_save", "kernel_save_all"):
+        # forward additionally writes saved activations so the backward skips
+        # recompute matmuls: 'kernel_save' saves the two layer-1
+        # pre-activations ((N·kb, 4g) each, ~66% of the recompute FLOPs for
+        # ~0.7 GB round-trip); 'kernel_save_all' additionally saves every
+        # h2/h3 and the pre-squash offsets/logit — the backward recomputes
+        # NO matmuls (h1 is elementwise from e1). Both measured net wins
+        # (BASELINE.md).
+        off, logit, saves = _fused_fwd_impl(
             None, pos, ray_feat, weights, kb, multires, n_iter, init_offset,
             use_sigmoid, dtype, rays_per_tile, interpret, cell_ids=cells,
             vox_table=vox_table, tiles_per_image=tiles_per_image,
-            save_l1=True)
+            save_mode="l1" if bwd_impl == "kernel_save" else "all")
         return (off, logit), (cells, pos, ray_feat, vox_table, weights,
-                              (e1, z1p))
+                              saves)
     out = fused_ray_decode_table(cells, pos, ray_feat, vox_table, weights,
                                  kb, tiles_per_image, multires, n_iter,
                                  init_offset, use_sigmoid, dtype,
@@ -507,14 +542,16 @@ def _table_fwd(cells, pos, ray_feat, vox_table, weights, kb, tiles_per_image,
 def _table_bwd(kb, tiles_per_image, multires, n_iter, init_offset,
                use_sigmoid, dtype, rays_per_tile, interpret, bwd_impl,
                res, g):
-    cells, pos, ray_feat, vox_table, weights, l1_saved = res
+    cells, pos, ray_feat, vox_table, weights, saved = res
     f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
-    if bwd_impl in ("kernel", "kernel_save"):
+    if bwd_impl in ("kernel", "kernel_save", "kernel_save_all"):
         d_table, d_rf, d_w = _fused_bwd_impl(
             None, pos, ray_feat, weights, g[0], g[1], kb, multires, n_iter,
             init_offset, use_sigmoid, dtype, rays_per_tile, interpret,
             cell_ids=cells, vox_table=vox_table,
-            tiles_per_image=tiles_per_image, l1_saved=l1_saved)
+            tiles_per_image=tiles_per_image, saved=saved,
+            save_mode={"kernel_save": "l1",
+                       "kernel_save_all": "all"}.get(bwd_impl))
         return f0(cells), jnp.zeros_like(pos), d_rf, d_table, d_w
 
     # XLA fallback: globalize the local ids and differentiate the
@@ -544,7 +581,7 @@ def _fused_bwd_impl(pair_vox, pos, ray_feat, weights, g_off, g_logit,
                     kb, multires, n_iter, init_offset, use_sigmoid, dtype,
                     rays_per_tile, interpret,
                     *, cell_ids=None, vox_table=None, tiles_per_image=None,
-                    l1_saved=None):
+                    saved=None, save_mode=None):
     """Fused backward kernel: per tile, recompute the forward in VMEM
     (activations never touch HBM — for the production shapes h1 alone would
     be ~330 MB), then backprop both MLPs. Weight-gradient accumulators use
@@ -563,7 +600,6 @@ def _fused_bwd_impl(pair_vox, pos, ray_feat, weights, g_off, g_logit,
     scatter-add that used to fold d_rows into the table disappears.
     """
     per_image = tiles_per_image is not None
-    has_l1 = l1_saved is not None
     if per_image:
         n_tab, c_vox = vox_table.shape
         n_rows = cell_ids.shape[0]
@@ -622,9 +658,12 @@ def _fused_bwd_impl(pair_vox, pos, ray_feat, weights, g_off, g_logit,
             return d * s * (1 - s)
         return jnp.where((x > 0) & (x < 1), d, 0.01 * d)
 
+    save_lay = _save_layout(save_mode, g, g2, g3, n_iter, dtype)
+
     def kernel(vox_ref, pos_ref, ray_ref, goff_ref, glogit_ref, *rest):
-        if has_l1:
-            (e1_ref, z1p_ref), rest = rest[:2], rest[2:]
+        if save_lay:
+            save_refs, rest = rest[:len(save_lay)], rest[len(save_lay):]
+            sd = {name: ref for (name, _, _), ref in zip(save_lay, save_refs)}
         wrefs = rest[:len(wkeys)]
         if per_image:
             table_ref, rest = rest[len(wkeys)], rest[len(wkeys) + 1:]
@@ -665,12 +704,12 @@ def _fused_bwd_impl(pair_vox, pos, ray_feat, weights, g_off, g_logit,
                 ray_part.reshape(t, 1, ray_part.shape[1]),
                 (t, kb, ray_part.shape[1])).reshape(rows_t, ray_part.shape[1])
 
-        if has_l1:
+        if save_lay:
             # layer-1 pre-activations saved by the forward: skip BOTH big
             # layer-1 matmuls and the per-ray partials (~66% of the
             # recompute FLOPs); pair_in is still needed for weight grads
-            e1_off = e1_ref[:].astype(jnp.float32)
-            z1p = z1p_ref[:].astype(jnp.float32)
+            e1_off = sd["e1"][:].astype(jnp.float32)
+            z1p = sd["z1p"][:].astype(jnp.float32)
         else:
             ray_e1_off = dot(ray_rows, wd["offr_w1"])
             ray_e1_prob = dot(ray_rows, wd["probr_w1"])
@@ -680,19 +719,33 @@ def _fused_bwd_impl(pair_vox, pos, ray_feat, weights, g_off, g_logit,
                    + wd["prob_b1"])
         a_vec = dot(wd["off_enc_w"], wd["offx_w1"])            # (1, g)
         c_vec = dot(wd["off_enc_b"][None, :], wd["offx_w1"])[0]
-        offset = jnp.full((rows_t, 1), init_offset, jnp.float32)
-        saved = []
-        for _ in range(n_iter):
-            h1 = act(e1_off + offset * a_vec + c_vec).astype(dtype)
-            h2 = act(dot(h1, wd["off_w2"]) + wd["off_b2"].astype(dtype))
-            h3 = act(dot(h2, wd["off_w3"]) + wd["off_b3"].astype(dtype))
-            saved.append((offset, h1, h2, h3))
-            offset = offset + dot(h3, wd["off_w4"]) + wd["off_b4"]
+        if save_mode == "all":
+            # every matmul-produced activation was saved by the forward —
+            # the backward recomputes only the elementwise h1 = act(e1 +
+            # off_i·a + c) per iteration (BASELINE.md kernel_save_all)
+            acts = []
+            for i in range(n_iter):
+                off_i = sd[f"off{i}"][:]
+                h1 = act(e1_off + off_i * a_vec + c_vec).astype(dtype)
+                acts.append((off_i, h1, sd[f"h2_{i}"][:], sd[f"h3_{i}"][:]))
+            offset = sd["off_fin"][:]
+            h1p = act(z1p).astype(dtype)
+            h2p, h3p = sd["h2p"][:], sd["h3p"][:]
+            logit = sd["logit"][:]
+        else:
+            offset = jnp.full((rows_t, 1), init_offset, jnp.float32)
+            acts = []
+            for _ in range(n_iter):
+                h1 = act(e1_off + offset * a_vec + c_vec).astype(dtype)
+                h2 = act(dot(h1, wd["off_w2"]) + wd["off_b2"].astype(dtype))
+                h3 = act(dot(h2, wd["off_w3"]) + wd["off_b3"].astype(dtype))
+                acts.append((offset, h1, h2, h3))
+                offset = offset + dot(h3, wd["off_w4"]) + wd["off_b4"]
 
-        h1p = act(z1p).astype(dtype)
-        h2p = act(dot(h1p, wd["prob_w2"]) + wd["prob_b2"].astype(dtype))
-        h3p = act(dot(h2p, wd["prob_w3"]) + wd["prob_b3"].astype(dtype))
-        logit = dot(h3p, wd["prob_w4"]) + wd["prob_b4"]
+            h1p = act(z1p).astype(dtype)
+            h2p = act(dot(h1p, wd["prob_w2"]) + wd["prob_b2"].astype(dtype))
+            h3p = act(dot(h2p, wd["prob_w3"]) + wd["prob_b3"].astype(dtype))
+            logit = dot(h3p, wd["prob_w4"]) + wd["prob_b4"]
 
         # ---- backward ----------------------------------------------------
         acc = {}
@@ -703,7 +756,7 @@ def _fused_bwd_impl(pair_vox, pos, ray_feat, weights, g_off, g_logit,
         d_offset = dsq(offset, goff_ref[:])                    # (rows, 1)
         d_e1_off = jnp.zeros((rows_t, g), jnp.float32)
         for i in range(n_iter - 1, -1, -1):
-            off_i, h1, h2, h3 = saved[i]
+            off_i, h1, h2, h3 = acts[i]
             add("ow4", dot_tn(h3, d_offset))
             add("ob4", csum(d_offset))
             d_h3 = dot_nt(d_offset, wd["off_w4"])
@@ -807,12 +860,11 @@ def _fused_bwd_impl(pair_vox, pos, ray_feat, weights, g_off, g_logit,
         first_out_shape = jax.ShapeDtypeStruct((n_pad_rows, c_vox),
                                                jnp.float32)
         first_bytes = n_pad_rows * c_vox * 6
-    if has_l1:
-        e1_in, z1p_in = l1_saved
-        l1_ins = [e1_in, z1p_in]
-        l1_specs = [row_spec(e1_in.shape[1]), row_spec(z1p_in.shape[1])]
+    if save_lay:
+        save_ins = list(saved)
+        save_specs = [row_spec(cols) for _, cols, _ in save_lay]
     else:
-        l1_ins, l1_specs = [], []
+        save_ins, save_specs = [], []
     vmem_limit = min(int(rows_t * 64 * 1024 + 24 * 2 ** 20), 128 * 2 ** 20)
     outs = pl.pallas_call(
         kernel,
@@ -820,7 +872,7 @@ def _fused_bwd_impl(pair_vox, pos, ray_feat, weights, g_off, g_logit,
         in_specs=[first_in_spec, row_spec(8),
                   pl.BlockSpec((t, c_ray), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-                  row_spec(1), row_spec(1), *l1_specs, *w_specs,
+                  row_spec(1), row_spec(1), *save_specs, *w_specs,
                   *extra_in_specs],
         out_specs=(first_out_spec,
                    pl.BlockSpec((t, c_ray), lambda i: (i, 0),
@@ -839,7 +891,7 @@ def _fused_bwd_impl(pair_vox, pos, ray_feat, weights, g_off, g_logit,
             transcendentals=n_pad_rows * 12 * multires),
         interpret=interpret,
     )(vox_in, pos, ray_feat, g_off[:, None].astype(jnp.float32),
-      g_logit[:, None].astype(jnp.float32), *l1_ins, *warrs, *extra_ins)
+      g_logit[:, None].astype(jnp.float32), *save_ins, *warrs, *extra_ins)
 
     d_vox_rows, d_ray_rows = outs[0], outs[1]
     da = dict(zip([n for n, _ in acc_shapes], outs[2:]))

@@ -31,6 +31,7 @@ VARIANTS = {
     "per_ray_pallas": (8, "per_ray", True, "xla"),
     "per_ray_pallas_kbwd": (8, "per_ray", True, "kernel"),
     "per_ray_pallas_ksave": (8, "per_ray", True, "kernel_save"),
+    "per_ray_pallas_ksaveall": (8, "per_ray", True, "kernel_save_all"),
     "per_ray4_pallas": (4, "per_ray", True, "xla"),
     "dense_xla": (0, "per_ray", False, "xla"),
 }

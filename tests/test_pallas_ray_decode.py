@@ -173,7 +173,7 @@ def test_table_variant_matches_gathered(data):
         return jax.grad(f, argnums=(0, 1, 2))(ray_feat, table, w)
 
     g_xla = jax.tree.leaves(loss("xla"))
-    for impl in ("kernel", "kernel_save"):
+    for impl in ("kernel", "kernel_save", "kernel_save_all"):
         for a, b in zip(jax.tree.leaves(loss(impl)), g_xla):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=2e-5)
