@@ -95,5 +95,8 @@ class ResNet34_8s(nn.Module):
         x = nn.Conv(self.out_ch, (1, 1),
                     kernel_init=nn.initializers.normal(0.01), dtype=self.dtype,
                     name="fc")(x)
-        x = x.astype(jnp.float32)
+        # stay in compute dtype through the upsample: every downstream
+        # consumer (window ROI pool -> ray_feat -> decode kernel) casts to
+        # compute dtype anyway, and the f32 form doubles the HBM traffic of
+        # the (B, H, W, C) resize + pooled/packed chain fwd AND bwd
         return jax.image.resize(x, (x.shape[0], in_h, in_w, x.shape[-1]), "bilinear")
