@@ -276,7 +276,7 @@ _DEFAULTS: Dict[str, Any] = {
         # with the fused backward — kernel wins both (BASELINE.md)
         "use_pallas_decode": "auto",
         "decode_rays_per_tile": 128,  # Pallas ray-decode tile (rays), serving
-        "decode_train_rays_per_tile": 192,  # table-mode training tile
+        "decode_train_rays_per_tile": 384,  # table-mode training tile (re-swept after the planar-loss/bf16-feat changes: 128->50.5, 192->48.9, 256->48.8, 384->48.3, 512->50.3 ms serial)
         "decode_bwd": "kernel_save",  # 'kernel_save' fused + saved layer-1
                                       # pre-acts | 'kernel' fused recompute
                                       # | 'xla' recompute

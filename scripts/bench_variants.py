@@ -37,12 +37,14 @@ VARIANTS = {
 }
 
 
-def build(budget, mode, pallas, decode_bwd="xla", tile=0):
+def build(budget, mode, pallas, decode_bwd="xla", tile=0, train_tile=0):
     tpu = {"compute_dtype": "bfloat16", "pairs_budget_per_ray": budget,
            "pairs_budget_mode": mode, "use_pallas_decode": pallas,
            "decode_bwd": decode_bwd}
     if tile:
         tpu["decode_rays_per_tile"] = tile
+    if train_tile:
+        tpu["decode_train_rays_per_tile"] = train_tile
     cfg = load_config(overrides={
         "mask_type": "all",
         "dataset": {"img_height": H, "img_width": W},
@@ -59,6 +61,8 @@ def main():
                     help="also time the train step (fwd+bwd+adam)")
     ap.add_argument("--tile", type=int, default=0,
                     help="override tpu.decode_rays_per_tile")
+    ap.add_argument("--train-tile", type=int, default=0,
+                    help="override tpu.decode_train_rays_per_tile")
     ap.add_argument("--serial", action="store_true",
                     help="train timing with state threaded through the loop "
                          "(true serial step; default is the pipelined upper "
@@ -70,7 +74,8 @@ def main():
 
     for name in args.variants.split(","):
         budget, mode, pallas, decode_bwd = VARIANTS[name]
-        cfg, static, model = build(budget, mode, pallas, decode_bwd, args.tile)
+        cfg, static, model = build(budget, mode, pallas, decode_bwd,
+                                   args.tile, args.train_tile)
         prep = jax.jit(lambda b, kk: prepare_inputs(static, b, kk, train=True))
         inputs = prep(batch, jax.random.key(0))
         variables = jax.jit(lambda kk, i: model.init(
