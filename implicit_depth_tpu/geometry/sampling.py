@@ -55,13 +55,19 @@ def _nonzero_first_order(mask_flat: jnp.ndarray) -> jnp.ndarray:
         idx, mode="drop", unique_indices=True, indices_are_sorted=True)
 
 
-def sample_masked_window(mask_flat: jnp.ndarray, n_sample: int, key: jax.Array):
+def sample_masked_window(mask_flat: jnp.ndarray, n_sample: int, key: jax.Array,
+                         rank: jnp.ndarray | None = None):
     """Sample ≤ n_sample indices per image from a boolean mask.
 
     Args:
       mask_flat: (B, M) bool.
       n_sample:  static slot count.
       key:       PRNG key.
+      rank:      optional precomputed ``cumsum(mask_flat, 1) - 1`` (B, M)
+                 int32 — callers that also need the rank downstream (the
+                 scatter-free loss-image writes) pass it in so the 307k-pixel
+                 scan runs once per step, not three times (profiled at
+                 ~1.4 ms per scan on TPU).
 
     Returns:
       idx:   (B, n_sample) int32 flat indices (garbage where slot invalid).
@@ -74,11 +80,16 @@ def sample_masked_window(mask_flat: jnp.ndarray, n_sample: int, key: jax.Array):
              ``rank = cumsum(mask) - 1`` (see models/lidf.py
              ``compose_pred_image`` — scatter-free, gather-only).
     """
-    b = mask_flat.shape[0]
+    b, m = mask_flat.shape
     keys = jax.random.split(key, b)
+    if rank is None:
+        rank = jnp.cumsum(mask_flat.astype(jnp.int32), axis=1) - 1
 
-    def one(mask, k):
-        order = _nonzero_first_order(mask)
+    def one(mask, k, rank_row):
+        r = jnp.where(mask, rank_row, m)  # False entries dropped
+        order = jnp.zeros(m, jnp.int32).at[r].set(
+            jnp.arange(m, dtype=jnp.int32), mode="drop",
+            unique_indices=True, indices_are_sorted=True)
         cnt = jnp.sum(mask).astype(jnp.int32)
         max_start = jnp.maximum(cnt - n_sample, 0)
         start = jax.random.randint(k, (), 0, max_start + 1)
@@ -86,7 +97,7 @@ def sample_masked_window(mask_flat: jnp.ndarray, n_sample: int, key: jax.Array):
         slot = (start + jnp.arange(n_sample, dtype=jnp.int32)) < cnt
         return idx, slot, cnt, start
 
-    return jax.vmap(one)(mask_flat, keys)
+    return jax.vmap(one)(mask_flat, keys, rank)
 
 
 def sample_valid_stratified(valid_mask: jnp.ndarray, n_sample: int, key: jax.Array,

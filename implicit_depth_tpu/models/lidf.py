@@ -45,6 +45,7 @@ from implicit_depth_tpu.ops.masked import (
     masked_argmax,
     masked_log_softmax,
     masked_softmax,
+    take_slot,
 )
 from implicit_depth_tpu.ops.ray_grid import ray_grid_intersect
 from implicit_depth_tpu.ops.roi_align import roi_window_pool
@@ -117,14 +118,20 @@ def prepare_inputs(static: LIDFStatic,
     dirs = ray_dir_map(h, w, batch["fx"], batch["fy"], batch["cx"], batch["cy"])
     dirs_flat = dirs.reshape(b, h * w, 3)
     if train:
-        midx, mslot, _, mstart = sample_masked_window(
-            miss_mask.reshape(b, -1), static.n_rays, k_miss)
         miss_mask_flat = miss_mask.reshape(b, -1)
+        # rank = cumsum(mask) - 1 computed ONCE and shared with the
+        # scatter-free loss-image writes (compose_pred_image) and the
+        # surf-norm in-window mask — the 307k-pixel scan costs ~1.4 ms on
+        # TPU and appeared 3x per step before consolidation
+        miss_rank = jnp.cumsum(miss_mask_flat.astype(jnp.int32), axis=1) - 1
+        midx, mslot, _, mstart = sample_masked_window(
+            miss_mask_flat, static.n_rays, k_miss, rank=miss_rank)
     else:
         midx = jnp.broadcast_to(jnp.arange(h * w, dtype=jnp.int32)[None], (b, h * w))
         mslot = miss_mask.reshape(b, -1)
         mstart = jnp.zeros((b,), jnp.int32)
         miss_mask_flat = mslot
+        miss_rank = None
     miss_dir = take_pix(dirs_flat, midx)
     miss_px = (midx % w).astype(jnp.int32)
     miss_py = (midx // w).astype(jnp.int32)
@@ -140,7 +147,8 @@ def prepare_inputs(static: LIDFStatic,
     gt_cell = jnp.where(gt_in, grid.linear_id(gt_ijk), -1)
     pair_label = pairs["valid"] & (pairs["cell_id"] == gt_cell[..., None])
 
-    return {
+    out = {} if miss_rank is None else {"miss_rank": miss_rank}
+    out.update({
         "rgb": rgb,
         "xyz_flat": batch["xyz"].reshape(b, h * w, 3),
         "xyz_corrupt_flat": xyz_corrupt_flat,
@@ -166,7 +174,8 @@ def prepare_inputs(static: LIDFStatic,
         "t_exit": pairs["t_exit"],
         "gt_pos": gt_pos,
         "pair_label": pair_label,
-    }
+    })
+    return out
 
 
 class LIDFModel(nn.Module):
@@ -293,12 +302,16 @@ class LIDFModel(nn.Module):
 
         grid = self.static.grid
         b, r, kb = inputs["pair_valid"].shape
-        enter, leave = self._pair_positions(inputs)
-        pos = jnp.concatenate(
-            [enter, leave, jnp.zeros_like(enter[..., :2])],
-            axis=-1).reshape(b * r * kb, 8).astype(jnp.float32)
+
+        def make_pos(inp):
+            enter, leave = self._pair_positions(inp)
+            return jnp.concatenate(
+                [enter, leave, jnp.zeros_like(enter[..., :2])],
+                axis=-1).astype(jnp.float32)
+
         ray_feat = jnp.concatenate([roi, dir_e], -1).reshape(b * r, -1)
         if use_kernel and not train:
+            pos = make_pos(inputs).reshape(b * r * kb, 8)
             global_cell = (jnp.arange(b, dtype=jnp.int32)[:, None, None]
                            * grid.n_cells + inputs["pair_cell"])
             pair_vox = vox_feat[global_cell].reshape(b * r * kb, -1)
@@ -319,14 +332,22 @@ class LIDFModel(nn.Module):
             # decode garbage and are sliced off).
             t = max(8, (min(self.decode_train_rays_per_tile, r) // 8) * 8)
             r_pad = -(-r // t) * t
-            cells = inputs["pair_cell"]
-            pos3 = pos.reshape(b, r, kb, 8)
-            rayf = ray_feat.reshape(b, r, -1)
+            inp_k = inputs
+            rayf = ray_feat.reshape(b, r, -1).astype(self.dtype)
             if r_pad != r:
+                # pad the SMALL per-ray inputs (t/dir/cell, ~7 MB) and build
+                # the (B, r_pad, kb, 8) position tensor directly at the
+                # padded size — padding the assembled f32 positions instead
+                # costs a ~1 ms 41 MB pad pass (profiled)
                 padr = ((0, 0), (0, r_pad - r))
-                cells = jnp.pad(cells, padr + ((0, 0),))
-                pos3 = jnp.pad(pos3, padr + ((0, 0), (0, 0)))
+                inp_k = dict(inputs)
+                for k3 in ("pair_cell", "t_enter", "t_exit"):
+                    inp_k[k3] = jnp.pad(inputs[k3], padr + ((0, 0),))
+                inp_k["miss_dir"] = jnp.pad(inputs["miss_dir"],
+                                            padr + ((0, 0),))
                 rayf = jnp.pad(rayf, padr + ((0, 0),))
+            cells = inp_k["pair_cell"]
+            pos3 = make_pos(inp_k)
             # per-image table blocks also need %8 sublane rows (G³=729→736);
             # local ids never reach the pad rows, pad-vjp slices d_table back
             nc = grid.n_cells
@@ -346,6 +367,7 @@ class LIDFModel(nn.Module):
             off = off.reshape(b, r_pad, kb)[:, :r].reshape(b * r * kb)
             logit = logit.reshape(b, r_pad, kb)[:, :r].reshape(b * r * kb)
         else:
+            pos = make_pos(inputs).reshape(b * r * kb, 8)
             global_cell = (jnp.arange(b, dtype=jnp.int32)[:, None, None]
                            * grid.n_cells + inputs["pair_cell"])
             pair_vox = vox_feat[global_cell].reshape(b * r * kb, -1)
@@ -484,40 +506,59 @@ class LIDFModel(nn.Module):
                     use_kernel=self.use_pallas_decode, train=train)
             else:
                 off_b, logit_b = self._decode_dense(sliced, vox_feat, roi, dir_e)
-            pad = ((0, 0), (0, 0), (0, k - kb))
-            pred_offset = jnp.pad(off_b, pad)
-            prob_logit = jnp.pad(logit_b, pad)
-            decoded = jnp.pad(jnp.ones_like(off_b, dtype=bool), pad)
-            pair_valid = inputs["pair_valid"] & decoded
+            # every downstream per-ray competition (softmax/argmax/CE/position
+            # algebra) runs at the kb kept slots — padding the outputs back to
+            # K would carry K−kb dead lanes through the whole tail AND its
+            # backward (profiled at ~5 ms/step for K=20, kb=8); consumers see
+            # (B, R, kb) output shapes and lidf_loss slices pair_label to match
+            pred_offset, prob_logit = off_b, logit_b
+            pair_valid = sliced["pair_valid"]
+            t_enter_k = sliced["t_enter"]
+            pair_label_k = inputs["pair_label"][:, :, :kb]
         elif self.pairs_budget > 0 and self.pairs_budget_mode == "global":
             pred_offset, prob_logit, decoded = self._decode_compacted(
                 inputs, vox_feat, roi, dir_e)
             # pairs dropped by the budget are removed from all per-ray
             # competitions (they have no real logits)
             pair_valid = inputs["pair_valid"] & decoded
+            t_enter_k = inputs["t_enter"]
+            pair_label_k = inputs["pair_label"]
         else:
             pred_offset, prob_logit = self._decode_dense(
                 inputs, vox_feat, roi, dir_e)
             pair_valid = inputs["pair_valid"]
+            t_enter_k = inputs["t_enter"]
+            pair_label_k = inputs["pair_label"]
 
-        enter = dirs[:, :, None, :] * inputs["t_enter"][..., None]
         lo, hi = self.offset_range
-        scaled = (pred_offset * (hi - lo) + lo) * np.sqrt(3.0) * grid.part_size
-        pair_pred_pos = enter + scaled[..., None] * dirs[:, :, None, :]
+        c_off = np.sqrt(3.0) * grid.part_size
 
         # Termination voxel: softmax over detached logits; GT-label argmax
         # during the curriculum (maxpool_label_epo).
         prob_softmax = masked_softmax(jax.lax.stop_gradient(prob_logit),
                                       pair_valid)
-        gt_slot, _ = masked_argmax(inputs["pair_label"].astype(jnp.float32),
+        gt_slot, _ = masked_argmax(pair_label_k.astype(jnp.float32),
                                    pair_valid)
         pr_slot, has_pair = masked_argmax(prob_softmax, pair_valid)
         use_gt = jnp.asarray(use_gt_label) & jnp.asarray(train)
         max_slot = jnp.where(use_gt, gt_slot, pr_slot)
 
-        pred_pos = jnp.take_along_axis(
-            pair_pred_pos, max_slot[..., None, None], axis=2)[:, :, 0]
+        # Select-then-compute: pick the winning slot's scalar t/offset and
+        # form the position per RAY. Computing per-pair positions first and
+        # gathering the (B, R, K, 3) result costs a (B·R·K, 3) scatter in the
+        # backward (profiled 3.7 ms/step) for the same value:
+        # enter + off·c·dir = dir·(t_sel + scaled_sel). take_slot: the
+        # element gather itself profiled at 0.9 ms per (B, R) pick.
+        t_sel = take_slot(t_enter_k, max_slot)
+        off_sel = take_slot(pred_offset, max_slot)
+        scaled_sel = (off_sel * (hi - lo) + lo) * c_off
+        pred_pos = dirs * (t_sel + scaled_sel)[..., None]
         pred_pos = jnp.where(has_pair[..., None], pred_pos, 0.0)  # dummy row ≙ :452-454
+
+        # per-pair positions for oracle/debug consumers (DCE'd when unused)
+        scaled = (pred_offset * (hi - lo) + lo) * c_off
+        pair_pred_pos = (dirs[:, :, None, :] * t_enter_k[..., None]
+                         + scaled[..., None] * dirs[:, :, None, :])
 
         return {
             "roi_feat": roi,
@@ -567,7 +608,7 @@ def scatter_into_image(base_flat: jnp.ndarray, idx: jnp.ndarray,
 
 
 @jax.custom_vjp
-def _compose_window(base_flat, values, mask_flat, start, idx, slot):
+def _compose_window(base_flat, values, mask_flat, rank, start, idx, slot):
     """``scatter_into_image`` for WINDOW-sampled indices, scatter-free.
 
     ``sample_masked_window`` hands out slots [start, start+R) of the mask's
@@ -578,21 +619,28 @@ def _compose_window(base_flat, values, mask_flat, start, idx, slot):
     VJP keeps the backward gather-only too (autodiff of the gather would
     reintroduce a scatter-add).
     """
-    out, _ = _compose_window_impl(base_flat, values, mask_flat, start)
+    out, _ = _compose_window_impl(base_flat, values, mask_flat, rank, start)
     return out
 
 
-def _compose_window_impl(base_flat, values, mask_flat, start):
-    r = values.shape[1]
-    rank = jnp.cumsum(mask_flat.astype(jnp.int32), axis=1) - 1
+def window_in_mask(mask_flat, rank, start, r):
+    """(B, M) bool: mask pixel whose rank falls in the window
+    [start, start+r) — i.e. the exact pixel set the r ray slots cover.
+    ``rank`` is cumsum(mask)-1 (precomputed once, inputs["miss_rank"])."""
     j = rank - start[:, None]
-    in_win = mask_flat & (j >= 0) & (j < r)
+    return mask_flat & (j >= 0) & (j < r)
+
+
+def _compose_window_impl(base_flat, values, mask_flat, rank, start):
+    r = values.shape[1]
+    j = rank - start[:, None]
+    in_win = window_in_mask(mask_flat, rank, start, r)
     vals = jnp.take_along_axis(values, jnp.clip(j, 0, r - 1)[..., None], axis=1)
     return jnp.where(in_win[..., None], vals, base_flat), in_win
 
 
-def _compose_window_fwd(base_flat, values, mask_flat, start, idx, slot):
-    out, in_win = _compose_window_impl(base_flat, values, mask_flat, start)
+def _compose_window_fwd(base_flat, values, mask_flat, rank, start, idx, slot):
+    out, in_win = _compose_window_impl(base_flat, values, mask_flat, rank, start)
     return out, (in_win, idx, slot)
 
 
@@ -605,7 +653,8 @@ def _compose_window_bwd(res, d):
     d_vals = jnp.where(slot[..., None],
                        jnp.take_along_axis(d, idx[..., None], axis=1), 0.0)
     f0 = lambda x: onp.zeros(x.shape, jax.dtypes.float0)
-    return d_base, d_vals, f0(in_win), f0(idx[:, 0]), f0(idx), f0(slot)
+    return (d_base, d_vals, f0(in_win), f0(in_win),
+            f0(idx[:, 0]), f0(idx), f0(slot))
 
 
 _compose_window.defvjp(_compose_window_fwd, _compose_window_bwd)
@@ -622,7 +671,10 @@ def compose_pred_image(base_flat: jnp.ndarray, values: jnp.ndarray,
                                   inputs["miss_slot"], values)
     if not train:
         return jnp.where(inputs["miss_slot"][..., None], values, base_flat)
-    return _compose_window(base_flat, values, inputs["miss_mask_flat"],
+    rank = inputs.get("miss_rank")
+    if rank is None:
+        rank = jnp.cumsum(inputs["miss_mask_flat"].astype(jnp.int32), 1) - 1
+    return _compose_window(base_flat, values, inputs["miss_mask_flat"], rank,
                            inputs["miss_start"], inputs["miss_idx"],
                            inputs["miss_slot"])
 
@@ -691,9 +743,11 @@ def surf_smooth_terms(inputs: Dict[str, jnp.ndarray], pred_pos: jnp.ndarray,
     if train:
         # the miss rays are window slots [start, start+R) of the mask's
         # nonzero list (sample_masked_window) — recover the pixel set
-        rank = jnp.cumsum(inputs["miss_mask_flat"].astype(jnp.int32), 1) - 1
-        j = rank - inputs["miss_start"][:, None]
-        in_win = inputs["miss_mask_flat"] & (j >= 0) & (j < slot.shape[1])
+        rank = inputs.get("miss_rank")
+        if rank is None:
+            rank = jnp.cumsum(inputs["miss_mask_flat"].astype(jnp.int32), 1) - 1
+        in_win = window_in_mask(inputs["miss_mask_flat"], rank,
+                                inputs["miss_start"], slot.shape[1])
     else:
         in_win = slot  # eval rays are pixel-aligned (miss_idx == arange)
     angle = (masked_mean(jnp.arccos(jnp.clip(cos_img, -1, 1)), in_win)
@@ -742,11 +796,15 @@ def lidf_loss(inputs: Dict[str, jnp.ndarray],
     # per-ray termination CE (pipeline.py:480-490); the mask excludes pairs
     # the compaction budget dropped (outputs["pair_valid"])
     pair_valid = outputs.get("pair_valid", inputs["pair_valid"])
+    # per-ray budget outputs carry only the kb kept slots (decode_rays) —
+    # slice the label to match; dropped-slot labels are excluded exactly as
+    # the padded form excluded them via pair_valid=False
+    pair_label = inputs["pair_label"][..., :pair_valid.shape[-1]]
     log_sm = masked_log_softmax(outputs["prob_logit"], pair_valid)
-    has_label = jnp.any(inputs["pair_label"] & pair_valid, axis=-1)
-    gt_slot, _ = masked_argmax(inputs["pair_label"].astype(jnp.float32),
+    has_label = jnp.any(pair_label & pair_valid, axis=-1)
+    gt_slot, _ = masked_argmax(pair_label.astype(jnp.float32),
                                pair_valid)
-    ce = -jnp.take_along_axis(log_sm, gt_slot[..., None], axis=-1)[..., 0]
+    ce = -take_slot(log_sm, gt_slot)  # element gather profiled 0.8 ms
     prob_loss = reduce(ce, slot & has_label)
 
     # surface-normal + smoothness (pipeline.py:492-546). The smooth term is

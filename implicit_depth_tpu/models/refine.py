@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from implicit_depth_tpu.models.embedder import positional_encoding
 from implicit_depth_tpu.models.imnet import IEF, IMNet
 from implicit_depth_tpu.models.lidf import LIDFStatic
+from implicit_depth_tpu.ops.masked import take_slot
 from implicit_depth_tpu.models.pointnet import PointNet2Stage
 
 
@@ -96,8 +97,7 @@ class RefineModel(nn.Module):
         cand = jnp.where(inb, grid.linear_id(ijk), 0)
         occ = jnp.take_along_axis(inputs["occupancy"], cand, axis=1)
         contained = inb & occ
-        fallback = jnp.take_along_axis(inputs["pair_cell"],
-                                       lidf_out["max_slot"][..., None], axis=2)[..., 0]
+        fallback = take_slot(inputs["pair_cell"], lidf_out["max_slot"])
         end_cell = jnp.where(contained, cand, fallback)
         end_center = grid.cell_center(grid.unlinear(end_cell), pred_pos.dtype)
 

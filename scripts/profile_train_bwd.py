@@ -105,10 +105,10 @@ def main():
                     pos_l1 = jnp.mean(
                         jnp.abs(out["pred_pos"] - inputs["gt_pos"]), axis=-1)
                     pv = out["pair_valid"]
+                    lab = inputs["pair_label"][..., :pv.shape[-1]]
                     log_sm = masked_log_softmax(out["prob_logit"], pv)
-                    has_label = jnp.any(inputs["pair_label"] & pv, axis=-1)
-                    gt_slot, _ = masked_argmax(
-                        inputs["pair_label"].astype(jnp.float32), pv)
+                    has_label = jnp.any(lab & pv, axis=-1)
+                    gt_slot, _ = masked_argmax(lab.astype(jnp.float32), pv)
                     ce = -jnp.take_along_axis(
                         log_sm, gt_slot[..., None], axis=-1)[..., 0]
                     return (loss_kw["pos_w"] * masked_mean(pos_l1, slot)

@@ -64,12 +64,12 @@ def test_per_ray_truncation_equals_dense_on_kept_slots():
                                              use_gt_label=True))(variables, inp)
 
     valid = np.asarray(inp["pair_valid"])
-    kept = valid.copy()
-    kept[:, :, 4:] = False
+    kept = valid[:, :, :4]
+    # per-ray budget outputs carry ONLY the kept slots (B, R, budget)
+    assert out_t["prob_logit"].shape[-1] == 4
     np.testing.assert_allclose(np.asarray(out_t["prob_logit"])[kept],
-                               np.asarray(out_d["prob_logit"])[kept], atol=1e-5)
-    # dropped slots are masked out of the softmax/argmax
-    assert not np.asarray(out_t["pair_valid"])[:, :, 4:].any()
+                               np.asarray(out_d["prob_logit"])[:, :, :4][kept],
+                               atol=1e-5)
     # rays whose pairs all sit in the kept slots predict identically
     unaffected = ~valid[:, :, 4:].any(-1)
     np.testing.assert_allclose(np.asarray(out_t["pred_pos"])[unaffected],
