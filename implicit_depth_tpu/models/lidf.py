@@ -108,8 +108,11 @@ def prepare_inputs(static: LIDFStatic,
         vidx, vslot, _ = sample_valid_stratified(valid_mask, static.n_valid, k_valid)
     take_pix = lambda img_flat, idx: jnp.take_along_axis(img_flat, idx[..., None], axis=1)
     xyz_corrupt_flat = batch["xyz_corrupt"].reshape(b, h * w, 3)
-    valid_xyz = take_pix(xyz_corrupt_flat, vidx)
-    valid_rgb = take_pix(rgb.reshape(b, h * w, 3), vidx)
+    # pair gathers that share indices: one 6-wide row gather uses 6/128
+    # lanes instead of 2x 3/128 and halves the per-row gather count
+    vg = take_pix(jnp.concatenate(
+        [xyz_corrupt_flat, rgb.reshape(b, h * w, 3)], axis=-1), vidx)
+    valid_xyz, valid_rgb = vg[..., :3], vg[..., 3:]
 
     # --- occupied voxels (get_occ_vox_bound, :162-201) ---------------------
     vox = voxelize_points(grid, valid_xyz, vslot)
@@ -132,7 +135,9 @@ def prepare_inputs(static: LIDFStatic,
         mstart = jnp.zeros((b,), jnp.int32)
         miss_mask_flat = mslot
         miss_rank = None
-    miss_dir = take_pix(dirs_flat, midx)
+    mg = take_pix(jnp.concatenate(
+        [dirs_flat, batch["xyz"].reshape(b, h * w, 3)], axis=-1), midx)
+    miss_dir, gt_pos = mg[..., :3], mg[..., 3:]
     miss_px = (midx % w).astype(jnp.int32)
     miss_py = (midx // w).astype(jnp.int32)
 
@@ -141,7 +146,6 @@ def prepare_inputs(static: LIDFStatic,
                                static.k_pairs, ray_mask=mslot)
 
     # --- ground truth (compute_gt, :298-336): point-in-voxel is a floor ----
-    gt_pos = take_pix(batch["xyz"].reshape(b, h * w, 3), midx)
     gt_ijk = grid.cell_of(gt_pos)
     gt_in = grid.in_bounds(gt_ijk)
     gt_cell = jnp.where(gt_in, grid.linear_id(gt_ijk), -1)
