@@ -136,8 +136,9 @@ def prepare_inputs(static: LIDFStatic,
         miss_mask_flat = mslot
         miss_rank = None
     mg = take_pix(jnp.concatenate(
-        [dirs_flat, batch["xyz"].reshape(b, h * w, 3)], axis=-1), midx)
-    miss_dir, gt_pos = mg[..., :3], mg[..., 3:]
+        [dirs_flat, batch["xyz"].reshape(b, h * w, 3),
+         rgb.reshape(b, h * w, 3)], axis=-1), midx)
+    miss_dir, gt_pos, miss_rgb = mg[..., :3], mg[..., 3:6], mg[..., 6:]
     miss_px = (midx % w).astype(jnp.int32)
     miss_py = (midx // w).astype(jnp.int32)
 
@@ -170,6 +171,7 @@ def prepare_inputs(static: LIDFStatic,
         "miss_mask_flat": miss_mask_flat,
         "miss_start": mstart,
         "miss_dir": miss_dir,
+        "miss_rgb": miss_rgb,
         "miss_px": miss_px,
         "miss_py": miss_py,
         "pair_cell": pairs["cell_id"],

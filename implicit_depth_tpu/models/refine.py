@@ -95,15 +95,23 @@ class RefineModel(nn.Module):
         ijk = grid.cell_of(pred_pos)
         inb = grid.in_bounds(ijk)
         cand = jnp.where(inb, grid.linear_id(ijk), 0)
-        occ = jnp.take_along_axis(inputs["occupancy"], cand, axis=1)
+        # one-hot any-reduce instead of an (B, R) element gather from the
+        # (B, G^3) occupancy row: per-element gathers serialize on TPU
+        # (~0.8 ms per refine iteration profiled); the iota-compare fusion
+        # never materializes and reduces on full lanes
+        cells_iota = jnp.arange(grid.n_cells, dtype=cand.dtype)
+        occ = jnp.any((cand[..., None] == cells_iota)
+                      & inputs["occupancy"][:, None, :], axis=-1)
         contained = inb & occ
         fallback = take_slot(inputs["pair_cell"], lidf_out["max_slot"])
         end_cell = jnp.where(contained, cand, fallback)
         end_center = grid.cell_center(grid.unlinear(end_cell), pred_pos.dtype)
 
         # -- PointNet with injected predictions (pipeline.py:999-1016) ------
-        miss_rgb = jnp.take_along_axis(inputs["rgb"].reshape(b, -1, 3),
-                                       inputs["miss_idx"][..., None], axis=1)
+        miss_rgb = inputs.get("miss_rgb")
+        if miss_rgb is None:  # hand-built inputs (tests/oracles)
+            miss_rgb = jnp.take_along_axis(inputs["rgb"].reshape(b, -1, 3),
+                                           inputs["miss_idx"][..., None], axis=1)
         if self.pnet_pos_type == "rel":
             pred_inp = jnp.concatenate([pred_pos - end_center, miss_rgb], -1)
             valid_inp = jnp.concatenate([inputs["vox_rel_coord"],

@@ -64,8 +64,8 @@ def ray_sharding_constraints(inputs, batch_spec, ray_spec, mesh=None):
     out = dict(inputs)
     for k in ("miss_idx", "miss_slot", "miss_px", "miss_py"):
         out[k] = cons(inputs[k], batch_spec, ray_spec)
-    for k in ("miss_dir", "gt_pos", "pair_cell", "pair_valid", "t_enter",
-              "t_exit", "pair_label"):
+    for k in ("miss_dir", "miss_rgb", "gt_pos", "pair_cell", "pair_valid",
+              "t_enter", "t_exit", "pair_label"):
         out[k] = cons(inputs[k], batch_spec, ray_spec, None)
     return out
 
