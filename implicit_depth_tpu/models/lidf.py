@@ -303,21 +303,24 @@ class LIDFModel(nn.Module):
         from implicit_depth_tpu.ops.pallas_ray_decode import (
             fused_ray_decode,
             fused_ray_decode_table,
+            pack_pair_pos,
             xla_ray_decode,
         )
 
         grid = self.static.grid
         b, r, kb = inputs["pair_valid"].shape
 
-        def make_pos(inp):
+        def make_pos_rk(inp, n_rays):
+            # ray-major lane-packed positions (kernel operands must be
+            # lane-dense — see ops/pallas_ray_decode.pack_pair_pos); the
+            # geometry has no parameter ancestry, so cut its cotangent graph
             enter, leave = self._pair_positions(inp)
-            return jnp.concatenate(
-                [enter, leave, jnp.zeros_like(enter[..., :2])],
-                axis=-1).astype(jnp.float32)
+            return jax.lax.stop_gradient(
+                pack_pair_pos(enter, leave).reshape(b * n_rays, kb * 6))
 
         ray_feat = jnp.concatenate([roi, dir_e], -1).reshape(b * r, -1)
         if use_kernel and not train:
-            pos = make_pos(inputs).reshape(b * r * kb, 8)
+            pos = make_pos_rk(inputs, r)
             global_cell = (jnp.arange(b, dtype=jnp.int32)[:, None, None]
                            * grid.n_cells + inputs["pair_cell"])
             pair_vox = vox_feat[global_cell].reshape(b * r * kb, -1)
@@ -328,6 +331,7 @@ class LIDFModel(nn.Module):
                 self.decode_rays_per_tile,
                 jax.default_backend() != "tpu",  # interpret off-TPU
                 self.decode_bwd)
+            return off.reshape(b, r, kb), logit.reshape(b, r, kb)
         elif use_kernel:
             # per-image table mode: the voxel-feature lookup AND its
             # cotangent live inside the kernel (one-hot MXU against the
@@ -352,8 +356,9 @@ class LIDFModel(nn.Module):
                 inp_k["miss_dir"] = jnp.pad(inputs["miss_dir"],
                                             padr + ((0, 0),))
                 rayf = jnp.pad(rayf, padr + ((0, 0),))
-            cells = inp_k["pair_cell"]
-            pos3 = make_pos(inp_k)
+            cells = jax.lax.stop_gradient(
+                inp_k["pair_cell"].reshape(b * r_pad, kb))
+            pos_rk = make_pos_rk(inp_k, r_pad)
             # per-image table blocks also need %8 sublane rows (G³=729→736);
             # local ids never reach the pad rows, pad-vjp slices d_table back
             nc = grid.n_cells
@@ -362,23 +367,26 @@ class LIDFModel(nn.Module):
             if nc_pad != nc:
                 table = jnp.pad(table, ((0, 0), (0, nc_pad - nc), (0, 0)))
             off, logit = fused_ray_decode_table(
-                cells.reshape(b * r_pad * kb),
-                pos3.reshape(b * r_pad * kb, 8),
+                cells, pos_rk,
                 rayf.reshape(b * r_pad, -1).astype(self.dtype),
                 table.reshape(b * nc_pad, -1).astype(self.dtype),
                 self._decoder_weights(), kb, r_pad // t, self.multires,
                 self.n_iter, 0.001, self.use_sigmoid, self.dtype, t,
                 jax.default_backend() != "tpu",  # interpret off-TPU
                 self.decode_bwd)
-            off = off.reshape(b, r_pad, kb)[:, :r].reshape(b * r * kb)
-            logit = logit.reshape(b, r_pad, kb)[:, :r].reshape(b * r * kb)
+            off = off.reshape(b, r_pad, kb)[:, :r]
+            logit = logit.reshape(b, r_pad, kb)[:, :r]
+            return off, logit
         else:
-            pos = make_pos(inputs).reshape(b * r * kb, 8)
+            enter, leave = self._pair_positions(inputs)
+            pos = jnp.concatenate([enter, leave],
+                                  axis=-1).astype(jnp.float32)
             global_cell = (jnp.arange(b, dtype=jnp.int32)[:, None, None]
                            * grid.n_cells + inputs["pair_cell"])
             pair_vox = vox_feat[global_cell].reshape(b * r * kb, -1)
             off, logit = xla_ray_decode(
-                pair_vox.astype(self.dtype), pos, ray_feat.astype(self.dtype),
+                pair_vox.astype(self.dtype), pos.reshape(b * r * kb, 6),
+                ray_feat.astype(self.dtype),
                 self._decoder_weights(), kb=kb, multires=self.multires,
                 n_iter=self.n_iter, use_sigmoid=self.use_sigmoid,
                 dtype=self.dtype)

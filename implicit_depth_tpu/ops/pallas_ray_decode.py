@@ -46,8 +46,8 @@ LEAKY = 0.02
 
 
 def _posenc_consts(multires: int):
-    """Lane-packing constants for the pair posenc: S (8, 12·multires) and
-    phase (12·multires,) such that ``sin(pos8 @ S + phase)`` emits every
+    """Lane-packing constants for the pair posenc: S (6, 12·multires) and
+    phase (12·multires,) such that ``sin(pos6 @ S + phase)`` emits every
     sin/cos column of both positions' encodings in embedder layout order
     (per freq: sin block then cos block; cos x = sin(x + π/2)).
 
@@ -57,7 +57,7 @@ def _posenc_consts(multires: int):
     sin() pass. S has one power-of-two entry per column, so the product is
     exact even under bf16-split f32 matmul."""
     n = 12 * multires
-    smat = np.zeros((8, n), np.float32)
+    smat = np.zeros((6, n), np.float32)
     phase = np.zeros((n,), np.float32)
     c = 0
     for base in (0, 3):
@@ -70,20 +70,68 @@ def _posenc_consts(multires: int):
     return smat, phase
 
 
-def _posenc_pair(pos8, smat, phase, dtype):
-    """pos8: (rows, 8) f32 = [enter xyz | leave xyz | pad]. Returns
+def _posenc_pair(pos6, smat, phase, dtype):
+    """pos6: (rows, 6) f32 = [enter xyz | leave xyz]. Returns
     (rows, 6·(1+2·multires)) in ``dtype`` laid out as
     [enter | sin/cos blocks ... | leave | sin/cos blocks ...] matching
     models/embedder.py (per-freq sin block then cos block). smat/phase
     from ``_posenc_consts`` (passed in so the kernel gets them as VMEM
     operands)."""
     trig = jnp.sin(jax.lax.dot_general(
-        pos8, smat, (((1,), (0,)), ((), ())),
+        pos6, smat, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + phase)
     half = trig.shape[-1] // 2
     return jnp.concatenate(
-        [pos8[:, 0:3], trig[:, :half], pos8[:, 3:6], trig[:, half:]],
+        [pos6[:, 0:3], trig[:, :half], pos6[:, 3:6], trig[:, half:]],
         axis=-1).astype(dtype)
+
+
+def pack_pair_pos(enter, leave):
+    """(..., kb, 3) enter/leave positions -> ray-major packed (..., kb·6)
+    f32 with column layout j·6+d = slot j's [enter xyz | leave xyz][d].
+
+    Why ray-major packing: a flat (N·kb, c) tensor with c < 128 crossing the
+    Pallas custom-call boundary is materialized in the TPU's (8, 128) tiled
+    layout — 128/c lanes of padding per row (a (651264, 8) f32 pos tensor
+    measured 333 MB / 0.56 ms per materialization; the (N·kb, 1) cell-id and
+    cotangent columns 0.51 ms EACH). Packing the per-pair scalars along the
+    lane dimension of a per-RAY row makes the buffers lane-dense; the kernel
+    unpacks with iota-mask selects in VMEM (``_sel_cols``)."""
+    kb = enter.shape[-2]
+    both = jnp.concatenate([enter, leave], axis=-1)          # (..., kb, 6)
+    return both.reshape(*both.shape[:-2], kb * 6).astype(jnp.float32)
+
+
+def _sel_cols(blk, t, kb, stride, offs):
+    """Unpack per-pair columns from a ray-major packed block.
+
+    blk: (t, width) where row i packs ray i's kb slots at columns
+    j·stride + off. Returns [(t·kb, 1), ...] — one column per ``off`` —
+    with out[i·kb + j] = blk[i, j·stride + off]. Pure VPU work (broadcast +
+    iota compare + lane reduce); avoids the (rows, 1) lane-padded HBM
+    layout AND any in-kernel sublane<->lane relayout."""
+    rows = t * kb
+    width = blk.shape[1]
+    b3 = jnp.broadcast_to(blk.reshape(t, 1, width),
+                          (t, kb, width)).reshape(rows, width)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, width), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, width), 0)
+    base = jax.lax.rem(row, kb) * stride
+    zero = jnp.zeros((), blk.dtype)
+    return [jnp.sum(jnp.where(lane == base + off, b3, zero),
+                    axis=1, keepdims=True) for off in offs]
+
+
+def _pack_slots(vals, t, kb):
+    """(t·kb, 1) per-pair column -> (t, kb) ray-major packed block (the
+    inverse of ``_sel_cols``): out[i, j] = vals[i·kb + j]. Spread onto a
+    slot-matched lane then reduce each ray's kb sublanes — the same rank-3
+    axis-1 reduce the backward kernel already uses for d_re_off."""
+    rows = t * kb
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, kb), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, kb), 0)
+    spread = jnp.where(lane == jax.lax.rem(row, kb), vals, 0.0)
+    return jnp.sum(spread.reshape(t, kb, kb), axis=1)
 
 
 def split_l1(w1: jnp.ndarray, c_vox: int, c_roi: int, c_pos: int, c_dir: int):
@@ -216,7 +264,8 @@ def xla_ray_decode(pair_vox: jnp.ndarray, pos: jnp.ndarray,
     """Identical math, plain XLA — the kernel's correctness oracle, CPU
     fallback, and the recompute path for the custom VJP backward.
 
-    pair_vox: (N·kb, Cv); pos: (N·kb, 8) f32; ray_feat: (N, Cr).
+    pair_vox: (N·kb, Cv); pos: (N·kb, >=6) f32 [enter xyz | leave xyz];
+    ray_feat: (N, Cr).
     """
     c_vox = pair_vox.shape[1]
     c_ray = ray_feat.shape[1]
@@ -227,7 +276,7 @@ def xla_ray_decode(pair_vox: jnp.ndarray, pos: jnp.ndarray,
         preferred_element_type=jnp.float32)
     ray_e1_off = dot(ray_feat, w["offr_w1"])
     ray_e1_prob = dot(ray_feat, w["probr_w1"])
-    pe = _posenc_pair(pos, w["pe_smat"], w["pe_phase"], dtype)
+    pe = _posenc_pair(pos[:, :6], w["pe_smat"], w["pe_phase"], dtype)
     return _decode_rows(pair_vox.astype(dtype), pe, ray_e1_off, ray_e1_prob,
                         w, kb, n_iter=n_iter, init_offset=init_offset,
                         use_sigmoid=use_sigmoid, dtype=dtype)
@@ -239,8 +288,9 @@ def fused_ray_decode(pair_vox, pos, ray_feat, weights,
                      kb, multires=8, n_iter=2, init_offset=0.001,
                      use_sigmoid=False, dtype=jnp.bfloat16,
                      rays_per_tile=256, interpret=False, bwd_impl="xla"):
-    """(N·kb, Cv) pair features + (N, Cr) ray features -> per-pair
-    (offset (N·kb,), prob_logit (N·kb,)), both f32. See module docstring.
+    """(N·kb, Cv) pair features + (N, kb·6) packed positions
+    (``pack_pair_pos``) + (N, Cr) ray features -> (offset, prob_logit),
+    each (N, kb) f32 ray-major. See module docstring.
 
     ``bwd_impl``: 'xla' re-runs the identical-math XLA path under jax.vjp in
     the backward (exact, but pays a full XLA forward); 'kernel' runs the
@@ -251,15 +301,29 @@ def fused_ray_decode(pair_vox, pos, ray_feat, weights,
                            rays_per_tile, interpret)
 
 
+def _pos_rows(pos_rk, kb):
+    """(N, kb·6) packed positions -> (N·kb, 6) rows (free reshape) for the
+    XLA oracle paths."""
+    n = pos_rk.shape[0]
+    return pos_rk.reshape(n * kb, 6)
+
+
 def _fused_fwd_impl(pair_vox, pos, ray_feat, weights, kb, multires, n_iter,
                     init_offset, use_sigmoid, dtype, rays_per_tile, interpret,
                     *, cell_ids=None, vox_table=None, tiles_per_image=None,
                     save_mode=None):
     """``pair_vox`` holds gathered (N·kb, Cv) rows — OR pass
-    ``cell_ids`` (N·kb,) + ``vox_table`` (n_cells, Cv) and the lookup happens
-    IN-kernel as a one-hot MXU matmul per tile (pair_vox then ignored):
-    TPU per-row gathers from HBM are the measured decode bottleneck, while a
-    (rows, n_cells) one-hot against the VMEM-resident table is MXU work.
+    ``cell_ids`` (N, kb) ray-major local ids + ``vox_table`` (n_cells, Cv)
+    and the lookup happens IN-kernel as a one-hot MXU matmul per tile
+    (pair_vox then ignored): TPU per-row gathers from HBM are the measured
+    decode bottleneck, while a (rows, n_cells) one-hot against the
+    VMEM-resident table is MXU work.
+
+    ``pos``: (N, kb·6) ray-major packed enter/leave positions
+    (``pack_pair_pos``) — narrow (N·kb, c) operands would be materialized
+    (8, 128)-tile padded at the custom-call boundary (0.5 ms per tensor at
+    production shapes, see ``pack_pair_pos``); the per-ray packing keeps
+    every buffer lane-dense and the kernel unpacks in VMEM.
 
     ``tiles_per_image``: when set, ``cell_ids`` are PER-IMAGE local ids and
     ``vox_table`` is (B·n_cells_img, Cv); each grid tile lies within one
@@ -268,17 +332,19 @@ def _fused_fwd_impl(pair_vox, pos, ray_feat, weights, kb, multires, n_iter,
     ids. Requires rays_per_tile · tiles_per_image = rays per image."""
     in_kernel_vox = cell_ids is not None
     per_image = tiles_per_image is not None
+    n_rays, c_ray = ray_feat.shape
+    n_rows = n_rays * kb
     if in_kernel_vox:
         n_cells, c_vox = vox_table.shape
-        n_rows = cell_ids.shape[0]
+        assert cell_ids.shape == (n_rays, kb), (cell_ids.shape, n_rays, kb)
         if per_image:
-            n_imgs = n_rows // (tiles_per_image * rays_per_tile * kb)
-            assert n_rows == n_imgs * tiles_per_image * rays_per_tile * kb
+            n_imgs = n_rays // (tiles_per_image * rays_per_tile)
+            assert n_rays == n_imgs * tiles_per_image * rays_per_tile
             n_cells = n_cells // n_imgs
     else:
-        n_rows, c_vox = pair_vox.shape
-    n_rays, c_ray = ray_feat.shape
-    assert n_rows == n_rays * kb, (n_rows, n_rays, kb)
+        c_vox = pair_vox.shape[1]
+        assert pair_vox.shape[0] == n_rows, (pair_vox.shape, n_rows)
+    assert pos.shape == (n_rays, kb * 6), (pos.shape, n_rays, kb)
     c_pos = 6 * (1 + 2 * multires)
     w = _prep_weights(weights, c_vox, c_ray - 27, c_pos, 27, dtype)
 
@@ -286,9 +352,9 @@ def _fused_fwd_impl(pair_vox, pos, ray_feat, weights, kb, multires, n_iter,
     pad_rays = 0 if per_image else (-n_rays) % t
     if pad_rays:
         ray_feat = jnp.pad(ray_feat, ((0, pad_rays), (0, 0)))
-        pos = jnp.pad(pos, ((0, pad_rays * kb), (0, 0)))
+        pos = jnp.pad(pos, ((0, pad_rays), (0, 0)))
         if in_kernel_vox:
-            cell_ids = jnp.pad(cell_ids, (0, pad_rays * kb))
+            cell_ids = jnp.pad(cell_ids, ((0, pad_rays), (0, 0)))
         else:
             pair_vox = jnp.pad(pair_vox, ((0, pad_rays * kb), (0, 0)))
     n_tiles = (n_rays + pad_rays) // t
@@ -317,7 +383,7 @@ def _fused_fwd_impl(pair_vox, pos, ray_feat, weights, kb, multires, n_iter,
             preferred_element_type=jnp.float32)
         if in_kernel_vox:
             # one-hot MXU lookup: rows (rows_t, n_cells) @ table (n_cells, Cv)
-            ids = vox_ref[:]                               # (rows_t, 1) i32
+            (ids,) = _sel_cols(vox_ref[:], t, kb, 1, (0,))  # (rows_t, 1) i32
             cols = jax.lax.broadcasted_iota(jnp.int32, (rows_t, n_cells), 1)
             onehot = (ids == cols).astype(dtype)
             pair_vox_t = dot(onehot, table_ref[:]).astype(dtype)
@@ -326,14 +392,15 @@ def _fused_fwd_impl(pair_vox, pos, ray_feat, weights, kb, multires, n_iter,
         ray_rows = ray_ref[:]
         ray_e1_off = dot(ray_rows, wd["offr_w1"])
         ray_e1_prob = dot(ray_rows, wd["probr_w1"])
-        pe = _posenc_pair(pos_ref[:], wd["pe_smat"], wd["pe_phase"], dtype)
+        pos6 = jnp.concatenate(_sel_cols(pos_ref[:], t, kb, 6, range(6)), -1)
+        pe = _posenc_pair(pos6, wd["pe_smat"], wd["pe_phase"], dtype)
         out = _decode_rows(pair_vox_t, pe, ray_e1_off,
                            ray_e1_prob, wd, kb, n_iter=n_iter,
                            init_offset=init_offset,
                            use_sigmoid=use_sigmoid, dtype=dtype,
                            save_mode=save_mode)
-        off_ref[:] = out[0][:, None]
-        logit_ref[:] = out[1][:, None]
+        off_ref[:] = _pack_slots(out[0][:, None], t, kb)
+        logit_ref[:] = _pack_slots(out[1][:, None], t, kb)
         if save_lay:
             saves = out[2]
             for (name, cols, sdt), ref in zip(save_lay, save_refs):
@@ -342,7 +409,7 @@ def _fused_fwd_impl(pair_vox, pos, ray_feat, weights, kb, multires, n_iter,
 
     w_specs = [pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
                for a in warrs]
-    out_spec = pl.BlockSpec((rows_t, 1), lambda i: (i, 0),
+    out_spec = pl.BlockSpec((t, kb), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     flops = 2 * (n_rays + pad_rays) * (
         kb * ((c_vox + c_pos) * g4 * 2
@@ -350,8 +417,8 @@ def _fused_fwd_impl(pair_vox, pos, ray_feat, weights, kb, multires, n_iter,
         + c_ray * g4 * 2)
 
     if in_kernel_vox:
-        vox_in = cell_ids[:, None].astype(jnp.int32)
-        vox_spec = pl.BlockSpec((rows_t, 1), lambda i: (i, 0),
+        vox_in = cell_ids.astype(jnp.int32)
+        vox_spec = pl.BlockSpec((t, kb), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
         extra = [jnp.asarray(vox_table, dtype)]
         if per_image:
@@ -384,14 +451,14 @@ def _fused_fwd_impl(pair_vox, pos, ray_feat, weights, kb, multires, n_iter,
         kernel,
         grid=(n_tiles,),
         in_specs=[vox_spec,
-                  pl.BlockSpec((rows_t, 8), lambda i: (i, 0),
+                  pl.BlockSpec((t, kb * 6), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((t, c_ray), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
                   *w_specs, *extra_specs],
         out_specs=(out_spec, out_spec, *save_specs),
-        out_shape=(jax.ShapeDtypeStruct((n_pad_rows, 1), jnp.float32),
-                   jax.ShapeDtypeStruct((n_pad_rows, 1), jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct((n_rays + pad_rays, kb), jnp.float32),
+                   jax.ShapeDtypeStruct((n_rays + pad_rays, kb), jnp.float32),
                    *save_shapes),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
@@ -404,8 +471,8 @@ def _fused_fwd_impl(pair_vox, pos, ray_feat, weights, kb, multires, n_iter,
     )(vox_in, pos, ray_feat, *warrs, *extra)
     off, logit = outs[0], outs[1]
     if save_lay:
-        return (off[:n_rows, 0], logit[:n_rows, 0], tuple(outs[2:]))
-    return off[:n_rows, 0], logit[:n_rows, 0]
+        return (off[:n_rays], logit[:n_rays], tuple(outs[2:]))
+    return off[:n_rays], logit[:n_rays]
 
 
 @functools.partial(jax.custom_vjp,
@@ -415,7 +482,8 @@ def fused_ray_decode_onehot(cell_ids, pos, ray_feat_and_table, weights,
                             use_sigmoid=False, dtype=jnp.bfloat16,
                             rays_per_tile=256, interpret=False):
     """Variant with the voxel-feature lookup INSIDE the kernel (one-hot MXU
-    against the VMEM-resident table). ``ray_feat_and_table`` is a tuple
+    against the VMEM-resident table). ``cell_ids``: (N, kb) ray-major;
+    ``pos``: (N, kb·6) packed; ``ray_feat_and_table`` is a tuple
     (ray_feat (N, Cr), vox_table (n_cells, Cv))."""
     ray_feat, vox_table = ray_feat_and_table
     return _fused_fwd_impl(None, pos, ray_feat, weights, kb, multires,
@@ -436,12 +504,17 @@ def _onehot_fwd(cell_ids, pos, ray_feat_and_table, weights, kb, multires,
 def _onehot_bwd(kb, multires, n_iter, init_offset, use_sigmoid, dtype,
                 rays_per_tile, interpret, res, g):
     cell_ids, pos, (ray_feat, vox_table), weights = res
+    n_rays = ray_feat.shape[0]
+    pos_rows = _pos_rows(pos, kb)
+    flat_ids = cell_ids.reshape(-1)
 
     def ref(rf, table, ws):
-        pv = table[cell_ids]
-        return xla_ray_decode(pv, pos, rf, ws, kb=kb, multires=multires,
-                              n_iter=n_iter, init_offset=init_offset,
-                              use_sigmoid=use_sigmoid, dtype=dtype)
+        pv = table[flat_ids]
+        off, logit = xla_ray_decode(pv, pos_rows, rf, ws, kb=kb,
+                                    multires=multires, n_iter=n_iter,
+                                    init_offset=init_offset,
+                                    use_sigmoid=use_sigmoid, dtype=dtype)
+        return off.reshape(n_rays, kb), logit.reshape(n_rays, kb)
 
     _, vjp = jax.vjp(ref, ray_feat, vox_table, weights)
     d_rf, d_table, d_w = vjp(g)
@@ -472,11 +545,16 @@ def _fused_bwd(kb, multires, n_iter, init_offset, use_sigmoid, dtype,
             pair_vox, pos, ray_feat, weights, g[0], g[1], kb, multires,
             n_iter, init_offset, use_sigmoid, dtype, rays_per_tile, interpret)
         return d_pv, jnp.zeros_like(pos), d_rf, d_w
-    _, vjp = jax.vjp(
-        lambda pv, rf, ws: xla_ray_decode(
-            pv, pos, rf, ws, kb=kb, multires=multires, n_iter=n_iter,
-            init_offset=init_offset, use_sigmoid=use_sigmoid, dtype=dtype),
-        pair_vox, ray_feat, weights)
+    n_rays = ray_feat.shape[0]
+    pos_rows = _pos_rows(pos, kb)
+
+    def ref(pv, rf, ws):
+        off, logit = xla_ray_decode(
+            pv, pos_rows, rf, ws, kb=kb, multires=multires, n_iter=n_iter,
+            init_offset=init_offset, use_sigmoid=use_sigmoid, dtype=dtype)
+        return off.reshape(n_rays, kb), logit.reshape(n_rays, kb)
+
+    _, vjp = jax.vjp(ref, pair_vox, ray_feat, weights)
     d_pv, d_rf, d_w = vjp(g)
     # pos has no parameter ancestry (geometry from prepare_inputs; the
     # reference's CUDA kernels are likewise non-differentiable) — zero grad
@@ -495,7 +573,8 @@ def fused_ray_decode_table(cells, pos, ray_feat, vox_table, weights,
                            interpret=False, bwd_impl="kernel"):
     """Per-image-table variant — the TPU training/serving default.
 
-    ``cells``: (N·kb,) int32 LOCAL cell ids (0..n_cells_img); ``vox_table``:
+    ``cells``: (N, kb) int32 ray-major LOCAL cell ids (0..n_cells_img);
+    ``pos``: (N, kb·6) packed (``pack_pair_pos``); ``vox_table``:
     (B·n_cells_img, Cv). The voxel-feature lookup happens IN-kernel as a
     one-hot MXU matmul against the ray's image's table block, and (with
     ``bwd_impl='kernel'``) the cotangent folds back into d_vox_table
@@ -503,6 +582,8 @@ def fused_ray_decode_table(cells, pos, ray_feat, vox_table, weights,
     (N·kb, Cv) row traffic, ~330 MB of f32 cotangents at production shapes)
     disappear entirely. Exact forward: the one-hot picks a single bf16
     element under f32 accumulation, bit-identical to gather+cast.
+
+    Returns (offset, prob_logit), each (N, kb) f32 ray-major.
 
     Requires rays_per_tile · tiles_per_image = rays per image (tiles never
     straddle images).
@@ -556,18 +637,23 @@ def _table_bwd(kb, tiles_per_image, multires, n_iter, init_offset,
 
     # XLA fallback: globalize the local ids and differentiate the
     # identical-math XLA path (gather vjp -> scatter-add)
-    n_rows = cells.shape[0]
+    n_rays = ray_feat.shape[0]
+    n_rows = n_rays * kb
     rows_per_img = tiles_per_image * rays_per_tile * kb
     n_imgs = n_rows // rows_per_img
     n_cells = vox_table.shape[0] // n_imgs
-    gcells = cells + (jnp.arange(n_rows, dtype=cells.dtype)
-                      // rows_per_img) * n_cells
+    flat_cells = cells.reshape(-1)
+    gcells = flat_cells + (jnp.arange(n_rows, dtype=cells.dtype)
+                           // rows_per_img) * n_cells
+    pos_rows = _pos_rows(pos, kb)
 
     def ref(rf, table, ws):
         pv = table[gcells]
-        return xla_ray_decode(pv, pos, rf, ws, kb=kb, multires=multires,
-                              n_iter=n_iter, init_offset=init_offset,
-                              use_sigmoid=use_sigmoid, dtype=dtype)
+        off, logit = xla_ray_decode(pv, pos_rows, rf, ws, kb=kb,
+                                    multires=multires, n_iter=n_iter,
+                                    init_offset=init_offset,
+                                    use_sigmoid=use_sigmoid, dtype=dtype)
+        return off.reshape(n_rays, kb), logit.reshape(n_rays, kb)
 
     _, vjp = jax.vjp(ref, ray_feat, vox_table, weights)
     d_rf, d_table, d_w = vjp(g)
@@ -600,15 +686,16 @@ def _fused_bwd_impl(pair_vox, pos, ray_feat, weights, g_off, g_logit,
     scatter-add that used to fold d_rows into the table disappears.
     """
     per_image = tiles_per_image is not None
+    n_rays, c_ray = ray_feat.shape
+    n_rows = n_rays * kb
     if per_image:
         n_tab, c_vox = vox_table.shape
-        n_rows = cell_ids.shape[0]
-        n_imgs = n_rows // (tiles_per_image * rays_per_tile * kb)
-        assert n_rows == n_imgs * tiles_per_image * rays_per_tile * kb
+        assert cell_ids.shape == (n_rays, kb)
+        n_imgs = n_rays // (tiles_per_image * rays_per_tile)
+        assert n_rays == n_imgs * tiles_per_image * rays_per_tile
         n_cells = n_tab // n_imgs
     else:
-        n_rows, c_vox = pair_vox.shape
-    n_rays, c_ray = ray_feat.shape
+        c_vox = pair_vox.shape[1]
     c_pos = 6 * (1 + 2 * multires)
     c_roi, c_dir = c_ray - 27, 27
     cp = c_vox + c_pos
@@ -616,14 +703,18 @@ def _fused_bwd_impl(pair_vox, pos, ray_feat, weights, g_off, g_logit,
     g = weights["off_w1"].shape[1]
     g2, g3 = weights["off_w2"].shape[1], weights["off_w3"].shape[1]
 
+    # cotangents arrive ray-major (n_rays, kb); pack both into one
+    # lane-dense (n_rays, 2·kb) operand (see pack_pair_pos on why)
+    gpair = jnp.concatenate([g_off.astype(jnp.float32),
+                             g_logit.astype(jnp.float32)], axis=-1)
+
     t = rays_per_tile
     pad_rays = 0 if per_image else (-n_rays) % t
     if pad_rays:
         ray_feat = jnp.pad(ray_feat, ((0, pad_rays), (0, 0)))
-        pos = jnp.pad(pos, ((0, pad_rays * kb), (0, 0)))
+        pos = jnp.pad(pos, ((0, pad_rays), (0, 0)))
         pair_vox = jnp.pad(pair_vox, ((0, pad_rays * kb), (0, 0)))
-        g_off = jnp.pad(g_off, (0, pad_rays * kb))
-        g_logit = jnp.pad(g_logit, (0, pad_rays * kb))
+        gpair = jnp.pad(gpair, ((0, pad_rays), (0, 0)))
     n_tiles = (n_rays + pad_rays) // t
     rows_t = t * kb
 
@@ -660,7 +751,7 @@ def _fused_bwd_impl(pair_vox, pos, ray_feat, weights, g_off, g_logit,
 
     save_lay = _save_layout(save_mode, g, g2, g3, n_iter, dtype)
 
-    def kernel(vox_ref, pos_ref, ray_ref, goff_ref, glogit_ref, *rest):
+    def kernel(vox_ref, pos_ref, ray_ref, gpair_ref, *rest):
         if save_lay:
             save_refs, rest = rest[:len(save_lay)], rest[len(save_lay):]
             sd = {name: ref for (name, _, _), ref in zip(save_lay, save_refs)}
@@ -674,6 +765,9 @@ def _fused_bwd_impl(pair_vox, pos, ray_feat, weights, g_off, g_logit,
         acc_refs = dict(zip([n for n, _ in acc_shapes], outs[2:]))
         wd = {k: (r[0] if w[k].ndim == 1 else r[:])
               for k, r in zip(wkeys, wrefs)}
+        # unpack the ray-major narrow operands to (rows, 1) columns in VMEM
+        goff_col, glogit_col = _sel_cols(gpair_ref[:], t, kb, 1, (0, kb))
+        pos6 = jnp.concatenate(_sel_cols(pos_ref[:], t, kb, 6, range(6)), -1)
         dot = lambda a, b: jax.lax.dot_general(
             a.astype(dtype), b.astype(dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -689,14 +783,14 @@ def _fused_bwd_impl(pair_vox, pos, ray_feat, weights, g_off, g_logit,
 
         # ---- forward recompute, keeping activations ----------------------
         if per_image:
-            ids = vox_ref[:]                                 # (rows_t, 1) i32
+            (ids,) = _sel_cols(vox_ref[:], t, kb, 1, (0,))   # (rows_t, 1) i32
             cols = jax.lax.broadcasted_iota(jnp.int32, (rows_t, n_cells), 1)
             onehot = (ids == cols).astype(dtype)
             pair_vox_t = dot(onehot, table_ref[:]).astype(dtype)
         else:
             pair_vox_t = vox_ref[:].astype(dtype)
         ray_rows = ray_ref[:]
-        pe = _posenc_pair(pos_ref[:], wd["pe_smat"], wd["pe_phase"], dtype)
+        pe = _posenc_pair(pos6, wd["pe_smat"], wd["pe_phase"], dtype)
         pair_in = jnp.concatenate([pair_vox_t, pe], axis=-1)
 
         def bcast(ray_part):
@@ -753,7 +847,7 @@ def _fused_bwd_impl(pair_vox, pos, ray_feat, weights, g_off, g_logit,
         def add(name, val):
             acc[name] = acc.get(name, 0) + val
 
-        d_offset = dsq(offset, goff_ref[:])                    # (rows, 1)
+        d_offset = dsq(offset, goff_col)                       # (rows, 1)
         d_e1_off = jnp.zeros((rows_t, g), jnp.float32)
         for i in range(n_iter - 1, -1, -1):
             off_i, h1, h2, h3 = acts[i]
@@ -774,7 +868,7 @@ def _fused_bwd_impl(pair_vox, pos, ray_feat, weights, g_off, g_logit,
             add("cvec", csum(d_z1))
             d_offset = d_offset + jnp.sum(d_z1 * a_vec, axis=1, keepdims=True)
 
-        d_logit = dsq(logit, glogit_ref[:])
+        d_logit = dsq(logit, glogit_col)
         add("pw4", dot_tn(h3p, d_logit))
         add("pb4", csum(d_logit))
         d_h3p = dot_nt(d_logit, wd["prob_w4"])
@@ -838,10 +932,12 @@ def _fused_bwd_impl(pair_vox, pos, ray_feat, weights, g_off, g_logit,
     mlp_flops = 2 * (n_rays + pad_rays) * (
         kb * (cp * g * 2 + (n_iter + 1) * (g * g2 + g2 * g3 + g3))
         + c_ray * g * 2)
+    ray_spec = lambda c: pl.BlockSpec((t, c), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM)
     if per_image:
         tpi = tiles_per_image
-        vox_in = cell_ids[:, None].astype(jnp.int32)
-        first_in_spec = row_spec(1)
+        vox_in = cell_ids.astype(jnp.int32)
+        first_in_spec = ray_spec(kb)
         extra_ins = [jnp.asarray(vox_table, dtype)]
         extra_in_specs = [pl.BlockSpec((n_cells, c_vox),
                                        lambda i: (i // tpi, 0),
@@ -869,15 +965,10 @@ def _fused_bwd_impl(pair_vox, pos, ray_feat, weights, g_off, g_logit,
     outs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[first_in_spec, row_spec(8),
-                  pl.BlockSpec((t, c_ray), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-                  row_spec(1), row_spec(1), *save_specs, *w_specs,
+        in_specs=[first_in_spec, ray_spec(kb * 6), ray_spec(c_ray),
+                  ray_spec(2 * kb), *save_specs, *w_specs,
                   *extra_in_specs],
-        out_specs=(first_out_spec,
-                   pl.BlockSpec((t, c_ray), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM),
-                   *acc_specs),
+        out_specs=(first_out_spec, ray_spec(c_ray), *acc_specs),
         out_shape=(first_out_shape,
                    jax.ShapeDtypeStruct((n_rays + pad_rays, c_ray),
                                         jnp.float32),
@@ -890,8 +981,7 @@ def _fused_bwd_impl(pair_vox, pos, ray_feat, weights, g_off, g_logit,
             bytes_accessed=first_bytes + n_pad_rows * 40,
             transcendentals=n_pad_rows * 12 * multires),
         interpret=interpret,
-    )(vox_in, pos, ray_feat, g_off[:, None].astype(jnp.float32),
-      g_logit[:, None].astype(jnp.float32), *save_ins, *warrs, *extra_ins)
+    )(vox_in, pos, ray_feat, gpair, *save_ins, *warrs, *extra_ins)
 
     d_vox_rows, d_ray_rows = outs[0], outs[1]
     da = dict(zip([n for n, _ in acc_shapes], outs[2:]))

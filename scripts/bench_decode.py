@@ -68,9 +68,11 @@ def main():
 
     rng = np.random.default_rng(0)
     table = jnp.asarray((rng.normal(size=(N_CELLS, CV)) * 0.3).astype(np.float32))
-    ids = jnp.asarray(rng.integers(0, N_CELLS, N_RAYS * KB, dtype=np.int32))
-    pair_vox = table[ids]
-    pos = jnp.asarray((rng.normal(size=(N_RAYS * KB, 8)) * 0.5).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, N_CELLS, N_RAYS * KB,
+                                   dtype=np.int32)).reshape(N_RAYS, KB)
+    pair_vox = table[ids.reshape(-1)]
+    # ray-major lane-packed positions (N, kb*6) — the kernel operand layout
+    pos = jnp.asarray((rng.normal(size=(N_RAYS, KB * 6)) * 0.5).astype(np.float32))
     ray_feat = jnp.asarray(rng.normal(size=(N_RAYS, CR)).astype(np.float32))
     w = _weights(rng)
     bf = jnp.bfloat16
@@ -79,7 +81,8 @@ def main():
     def run_variant(name):
         if name == "xla":
             fn = lambda s, pv, p, rf: jnp.sum(xla_ray_decode(
-                pv * s.astype(bf), p, rf, w, kb=KB)[1])
+                pv * s.astype(bf), p.reshape(N_RAYS * KB, 6), rf, w,
+                kb=KB)[1])
             return slope(fn, pv16, pos, rf16)
         if name.startswith("k"):
             t = int(name[1:])

@@ -68,6 +68,23 @@ def analyze(trace_dir):
     print("\n-- by category --")
     for c, d in cat.most_common(12):
         print(f"{d / ITERS / 1e3:7.2f}  x{ncat[c] // ITERS:5d}  {c}")
+    # top ops inside the glue categories, with shapes — these are the
+    # layout/copy costs the source-level view hides
+    glue = {"data formatting", "copy-done", "loop fusion", "?"}
+    gagg = collections.Counter()
+    ginfo = {}
+    for e in ops:
+        a = e.get("args", {})
+        if a.get("hlo_category", "?") not in glue:
+            continue
+        gagg[e["name"]] += e["dur"]
+        ginfo[e["name"]] = (a.get("hlo_category", "?"),
+                            (a.get("shape") or a.get("long_name") or "")[:60],
+                            (a.get("source") or "?")[-40:])
+    print("\n-- top glue ops (ms/iter) --")
+    for n, d in gagg.most_common(20):
+        c, sh, s = ginfo[n]
+        print(f"{d / ITERS / 1e3:7.2f}  {n[:28]:28s} {c[:14]:14s} {sh} {s}")
 
 
 def main():

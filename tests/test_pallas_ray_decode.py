@@ -1,4 +1,11 @@
-"""Ray-major fused decode: kernel ≡ XLA oracle ≡ the original pair decode."""
+"""Ray-major fused decode: kernel ≡ XLA oracle ≡ the original pair decode.
+
+Kernel I/O layout: narrow per-pair operands (positions, cell ids,
+cotangents) cross the custom-call boundary ray-major lane-packed
+((N, kb·c) — see ops/pallas_ray_decode.pack_pair_pos) and the outputs are
+(N, kb); the oracle keeps flat (N·kb, c) rows. Tests convert between the
+two with free reshapes.
+"""
 
 import jax
 import jax.numpy as jnp
@@ -12,6 +19,17 @@ from implicit_depth_tpu.ops.pallas_ray_decode import (
 )
 
 N_RAYS, KB, CV, GF4 = 96, 8, 32, 64
+
+
+def _rk(pos6, n_rays=None):
+    """(N·kb, 6) oracle rows -> (N, kb·6) ray-major packed kernel operand."""
+    n = pos6.shape[0] // KB if n_rays is None else n_rays
+    return pos6.reshape(n, KB * 6)
+
+
+def _flat(out):
+    """(N, kb) kernel output -> (N·kb,) oracle rows."""
+    return out.reshape(-1)
 
 
 def _weights(rng, c_embed):
@@ -33,8 +51,7 @@ def data(rng_module=None):
     rng = np.random.default_rng(11)
     c_embed = CV + 128 + 102 + 27
     pair_vox = rng.normal(size=(N_RAYS * KB, CV)).astype(np.float32)
-    pos = (rng.normal(size=(N_RAYS * KB, 8)) * 0.5).astype(np.float32)
-    pos[:, 6:] = 0.0
+    pos = (rng.normal(size=(N_RAYS * KB, 6)) * 0.5).astype(np.float32)
     ray_feat = rng.normal(size=(N_RAYS, 128 + 27)).astype(np.float32)
     return (jnp.asarray(pair_vox), jnp.asarray(pos), jnp.asarray(ray_feat),
             _weights(rng, c_embed))
@@ -62,10 +79,11 @@ def test_kernel_matches_xla_oracle(data):
     pair_vox, pos, ray_feat, w = data
     want = xla_ray_decode(pair_vox, pos, ray_feat, w, kb=KB,
                           dtype=jnp.float32)
-    got = fused_ray_decode(pair_vox, pos, ray_feat, w, KB, 8, 2, 0.001,
+    got = fused_ray_decode(pair_vox, _rk(pos), ray_feat, w, KB, 8, 2, 0.001,
                            False, jnp.float32, 32, True)  # interpret mode
     for g, t in zip(got, want):
-        np.testing.assert_allclose(np.asarray(g), np.asarray(t), atol=2e-5)
+        np.testing.assert_allclose(_flat(np.asarray(g)), np.asarray(t),
+                                   atol=2e-5)
 
 
 def test_kernel_pads_ragged_tiles(data):
@@ -73,11 +91,12 @@ def test_kernel_pads_ragged_tiles(data):
     n = 70 * KB  # 70 rays, not a multiple of the 32-ray tile
     want = xla_ray_decode(pair_vox[:n], pos[:n], ray_feat[:70], w, kb=KB,
                           dtype=jnp.float32)
-    got = fused_ray_decode(pair_vox[:n], pos[:n], ray_feat[:70], w, KB, 8, 2,
-                           0.001, False, jnp.float32, 32, True)
+    got = fused_ray_decode(pair_vox[:n], _rk(pos[:n], 70), ray_feat[:70], w,
+                           KB, 8, 2, 0.001, False, jnp.float32, 32, True)
     for g, t in zip(got, want):
-        assert g.shape == t.shape
-        np.testing.assert_allclose(np.asarray(g), np.asarray(t), atol=2e-5)
+        assert _flat(g).shape == t.shape
+        np.testing.assert_allclose(_flat(np.asarray(g)), np.asarray(t),
+                                   atol=2e-5)
 
 
 def test_model_ray_major_kernel_matches_dense():
@@ -114,6 +133,20 @@ def test_model_ray_major_kernel_matches_dense():
                                np.asarray(out_a["pred_pos"]), atol=2e-5)
 
 
+def test_pack_pair_pos_layout():
+    """pack_pair_pos column j·6+d == slot j's [enter|leave][d]."""
+    from implicit_depth_tpu.ops.pallas_ray_decode import pack_pair_pos
+
+    rng = np.random.default_rng(3)
+    enter = rng.normal(size=(5, KB, 3)).astype(np.float32)
+    leave = rng.normal(size=(5, KB, 3)).astype(np.float32)
+    packed = np.asarray(pack_pair_pos(jnp.asarray(enter), jnp.asarray(leave)))
+    assert packed.shape == (5, KB * 6)
+    for j in range(KB):
+        np.testing.assert_array_equal(packed[:, j * 6:j * 6 + 3], enter[:, j])
+        np.testing.assert_array_equal(packed[:, j * 6 + 3:j * 6 + 6], leave[:, j])
+
+
 def test_onehot_variant_matches_gathered(data):
     """In-kernel one-hot voxel lookup ≡ feeding pre-gathered rows."""
     from implicit_depth_tpu.ops.pallas_ray_decode import fused_ray_decode_onehot
@@ -123,16 +156,18 @@ def test_onehot_variant_matches_gathered(data):
     n_cells = 272  # lane-unaligned on purpose
     table = jnp.asarray(rng.normal(size=(n_cells, CV)).astype(np.float32))
     ids = jnp.asarray(rng.integers(0, n_cells, N_RAYS * KB, dtype=np.int32))
-    want = fused_ray_decode(table[ids], pos, ray_feat, w, KB, 8, 2, 0.001,
-                            False, jnp.float32, 32, True)
-    got = fused_ray_decode_onehot(ids, pos, (ray_feat, table), w, KB, 8, 2,
+    want = fused_ray_decode(table[ids], _rk(pos), ray_feat, w, KB, 8, 2,
+                            0.001, False, jnp.float32, 32, True)
+    got = fused_ray_decode_onehot(ids.reshape(N_RAYS, KB), _rk(pos),
+                                  (ray_feat, table), w, KB, 8, 2,
                                   0.001, False, jnp.float32, 32, True)
     for a, b in zip(got, want):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
     # grads flow to the table (bwd: XLA recompute through the gather)
     def loss(tb):
-        off, logit = fused_ray_decode_onehot(ids, pos, (ray_feat, tb), w, KB,
+        off, logit = fused_ray_decode_onehot(ids.reshape(N_RAYS, KB),
+                                             _rk(pos), (ray_feat, tb), w, KB,
                                              8, 2, 0.001, False, jnp.float32,
                                              32, True)
         return jnp.sum(off + logit)
@@ -156,19 +191,21 @@ def test_table_variant_matches_gathered(data):
     cells = jnp.asarray(rng.integers(0, n_cells, N_RAYS * KB, dtype=np.int32))
     gids = cells + (jnp.arange(N_RAYS * KB, dtype=jnp.int32)
                     // (rays_per_img * KB)) * n_cells
+    cells_rk = cells.reshape(N_RAYS, KB)
 
-    want = fused_ray_decode(table[gids], pos, ray_feat, w, KB, 8, 2, 0.001,
-                            False, jnp.float32, t, True)
-    got = fused_ray_decode_table(cells, pos, ray_feat, table, w, KB, tpi,
-                                 8, 2, 0.001, False, jnp.float32, t, True)
+    want = fused_ray_decode(table[gids], _rk(pos), ray_feat, w, KB, 8, 2,
+                            0.001, False, jnp.float32, t, True)
+    got = fused_ray_decode_table(cells_rk, _rk(pos), ray_feat, table, w, KB,
+                                 tpi, 8, 2, 0.001, False, jnp.float32, t, True)
     for a, b in zip(got, want):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
     def loss(impl):
         def f(rf, tb, ws):
-            off, logit = fused_ray_decode_table(cells, pos, rf, tb, ws, KB,
-                                                tpi, 8, 2, 0.001, False,
-                                                jnp.float32, t, True, impl)
+            off, logit = fused_ray_decode_table(cells_rk, _rk(pos), rf, tb,
+                                                ws, KB, tpi, 8, 2, 0.001,
+                                                False, jnp.float32, t, True,
+                                                impl)
             return jnp.sum(off * 1.3 + logit * 0.7)
         return jax.grad(f, argnums=(0, 1, 2))(ray_feat, table, w)
 
@@ -187,11 +224,12 @@ def test_bwd_kernel_grads_match_xla(data):
 
     for n in (N_RAYS, 70):
         pv, po, rf = pair_vox[:n * KB], pos[:n * KB], ray_feat[:n]
+        po_rk = _rk(po, n)
 
         def loss_kernel(pv_, rf_, ws):
-            off, logit = fused_ray_decode(pv_, po, rf_, ws, KB, 8, 2, 0.001,
-                                          False, jnp.float32, 32, True,
-                                          "kernel")
+            off, logit = fused_ray_decode(pv_, po_rk, rf_, ws, KB, 8, 2,
+                                          0.001, False, jnp.float32, 32,
+                                          True, "kernel")
             return jnp.sum(off * 1.3 + logit * 0.7)
 
         def loss_xla(pv_, rf_, ws):
@@ -212,9 +250,9 @@ def test_bwd_kernel_sigmoid_squash(data):
 
     def loss(impl):
         def f(ws):
-            off, logit = fused_ray_decode(pair_vox, pos, ray_feat, ws, KB, 8,
-                                          2, 0.001, True, jnp.float32, 32,
-                                          True, impl)
+            off, logit = fused_ray_decode(pair_vox, _rk(pos), ray_feat, ws,
+                                          KB, 8, 2, 0.001, True, jnp.float32,
+                                          32, True, impl)
             return jnp.sum(off - 2 * logit)
         return jax.grad(f)(w)
 
@@ -228,7 +266,7 @@ def test_custom_vjp_grads_match_xla(data):
     pair_vox, pos, ray_feat, w = data
 
     def loss_kernel(pv, rf, ws):
-        off, logit = fused_ray_decode(pv, pos, rf, ws, KB, 8, 2, 0.001,
+        off, logit = fused_ray_decode(pv, _rk(pos), rf, ws, KB, 8, 2, 0.001,
                                       False, jnp.float32, 32, True)
         return jnp.sum(off * 1.3 + logit * 0.7)
 
