@@ -59,6 +59,7 @@ def build_lidf(cfg: Config, static: LIDFStatic) -> LIDFModel:
         offdec_type=m.offdec_type,
         n_iter=m.n_iter,
         use_sigmoid=m.use_sigmoid,
+        resnet_stages=tuple(m.get("resnet_stages", (3, 4, 6, 3))),
         offset_range=tuple(cfg.grid.offset_range),
         pairs_budget=cfg.tpu.get("pairs_budget_per_ray", 0),
         pairs_budget_mode=cfg.tpu.get("pairs_budget_mode", "per_ray"),

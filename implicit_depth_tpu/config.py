@@ -202,6 +202,9 @@ _DEFAULTS: Dict[str, Any] = {
         "scatter_type": "Maxpool",
         "use_sigmoid": False,
         "maxpool_label_epo": 6,
+        # ResNet34 block counts (resnet_dilated.py:283); override for tiny
+        # test models
+        "resnet_stages": [3, 4, 6, 3],
     },
     "refine": {
         "forward_times": 2,

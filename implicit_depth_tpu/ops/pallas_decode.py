@@ -44,17 +44,18 @@ def _posenc(x, multires: int):
 
 
 def _mlp4(x, w, prefix: str, dtype):
-    """Intermediate activations stay in ``dtype`` (bf16): the MXU still
-    accumulates in f32 internally, but materializing f32 activation tensors
-    doubles HBM traffic for zero accuracy benefit. Only the final scalar
-    comes out f32."""
+    """Intermediate activations stay in ``dtype`` (bf16) BETWEEN layers
+    (materializing f32 activation tensors doubles HBM traffic for zero
+    accuracy benefit), but every matmul requests an f32 accumulator —
+    Mosaic rejects non-32-bit matmul accs ('Expected matmul acc to be
+    32-bit'); the acc lives in registers, so this costs nothing."""
     act = lambda v: jnp.where(v > 0, v, LEAKY * v)
     h = x
     for i in (1, 2, 3):
         h = act(jax.lax.dot_general(
             h.astype(dtype), w[f"{prefix}_w{i}"].astype(dtype),
-            (((1,), (0,)), ((), ())), preferred_element_type=dtype)
-            + w[f"{prefix}_b{i}"].astype(dtype))
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            + w[f"{prefix}_b{i}"].astype(jnp.float32)).astype(dtype)
     return (jax.lax.dot_general(
         h.astype(dtype), w[f"{prefix}_w4"].astype(dtype),
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
@@ -85,9 +86,11 @@ def _decode_tile(pair_vox, roi, enter, leave, dir_e, w,
                             -1).astype(dtype)
     t, d_embed = embed.shape
     act = lambda v: jnp.where(v > 0, v, LEAKY * v)
+    # every matmul accumulates f32 (Mosaic requires 32-bit matmul accs);
+    # activations are cast back to ``dtype`` between layers
     dot = lambda a, b, out=None: jax.lax.dot_general(
         a.astype(dtype), b.astype(dtype), (((1,), (0,)), ((), ())),
-        preferred_element_type=out or dtype)
+        preferred_element_type=jnp.float32)
 
     w1 = w["off_w1"]
     e1 = dot(embed, w1[:d_embed], jnp.float32) + w["off_b1"]     # (P, 4g) once
