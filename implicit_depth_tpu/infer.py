@@ -51,7 +51,14 @@ class DepthCompleter:
     """
 
     def __init__(self, cfg: Optional[Config] = None, *,
-                 lidf_variables, refine_params=None, batch_size: int = 1):
+                 lidf_variables, refine_params=None, batch_size: int = 1,
+                 mesh: Union[None, str, "jax.sharding.Mesh"] = None):
+        """``mesh``: multi-chip serving. Pass a ("data", "rays")
+        ``jax.sharding.Mesh`` or ``"auto"`` (builds one over all local
+        devices, batch on ``data``, remaining chips splitting the per-pixel
+        rays — the trainer's eval layout, train/steps.py). Variables are
+        replicated once; GSPMD partitions the forward, so a single frame
+        still uses every chip."""
         self.cfg = cfg if cfg is not None else load_config(
             overrides={"mask_type": "all"})
         self.h = int(self.cfg.dataset.img_height)
@@ -63,6 +70,19 @@ class DepthCompleter:
         self.lidf = build_lidf(self.cfg, self.static)
         self.refine = build_refine(self.cfg, self.static) \
             if refine_params is not None else None
+        if mesh == "auto":
+            import math
+
+            from implicit_depth_tpu.parallel.mesh import make_mesh
+            n_dev = len(jax.devices())
+            n_data = math.gcd(self.batch_size, n_dev)
+            mesh = make_mesh((n_data, n_dev // n_data), ("data", "rays"))
+        self.mesh = mesh
+        if mesh is not None and lidf_variables is not None:
+            from implicit_depth_tpu.parallel.mesh import replicate
+            lidf_variables = replicate(lidf_variables, mesh)
+            if refine_params is not None:
+                refine_params = replicate(refine_params, mesh)
         self.lidf_variables = lidf_variables
         self.refine_params = refine_params
         self._forward = self._build_forward()
@@ -72,10 +92,19 @@ class DepthCompleter:
         forward_times = int(self.cfg.refine.forward_times)
         use_all_pix = bool(self.cfg.refine.use_all_pix)
 
+        mesh = self.mesh
+        shard_rays = mesh is not None and "rays" in mesh.axis_names \
+            and mesh.shape["rays"] > 1
+
         @jax.jit
         def forward(lidf_vars, refine_params, batch, key):
             inputs = prepare_inputs(self.static, batch, key, train=False,
                                     mask_type="all")
+            if shard_rays:
+                from implicit_depth_tpu.train.steps import (
+                    ray_sharding_constraints,
+                )
+                inputs = ray_sharding_constraints(inputs, "data", "rays", mesh)
             out = self.lidf.apply(lidf_vars, inputs, train=False,
                                   use_gt_label=False)
             pred = out["pred_pos"]
@@ -169,6 +198,9 @@ class DepthCompleter:
             samples.append(samples[-1])
         batch = {k: jnp.asarray(np.stack([s[k] for s in samples]))
                  for k in samples[0]}
+        if self.mesh is not None:
+            from implicit_depth_tpu.parallel.mesh import shard_batch
+            batch = shard_batch(batch, self.mesh)
         completed, pred_z = self._forward(
             self.lidf_variables, self.refine_params, batch,
             jax.random.key(seed))
@@ -191,7 +223,7 @@ class DepthCompleter:
                         refine_ckpt_dir: Optional[str] = None,
                         cfg: Optional[Config] = None,
                         ckpt_name: str = "best_network",
-                        batch_size: int = 1) -> "DepthCompleter":
+                        batch_size: int = 1, mesh=None) -> "DepthCompleter":
         """Load trained weights from orbax checkpoint dirs (the trainer's
         ``<workdir>/ckpt`` layout; ``ckpt_name`` falls back to
         ``latest_network`` when the named snapshot is absent — ≙ the
@@ -241,4 +273,5 @@ class DepthCompleter:
                 refine_ckpt_dir, rvars, name=pick(refine_ckpt_dir))
 
         return cls(cfg, lidf_variables=lidf_vars,
-                   refine_params=refine_params, batch_size=batch_size)
+                   refine_params=refine_params, batch_size=batch_size,
+                   mesh=mesh)

@@ -103,3 +103,48 @@ def test_complete_two_stage_batch_and_resize(ckpt_dirs):
                                   depth2[depth2 != 0])
     with pytest.raises(ValueError):
         dc.complete_batch([rgb] * 3, [depth] * 3, [intr] * 3)
+
+
+def test_complete_depth_cli(ckpt_dirs, tmp_path):
+    """scripts/complete_depth.py: files in -> completed depth file out."""
+    import importlib.util
+
+    import cv2
+
+    cfg, ldir, _ = ckpt_dirs
+    spec = importlib.util.spec_from_file_location(
+        "complete_depth", "scripts/complete_depth.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    rgb, depth, intr = _frame(9)
+    rgb_p, dep_p = str(tmp_path / "f-rgb.png"), str(tmp_path / "f-depth.npy")
+    out_p = str(tmp_path / "completed.npy")
+    cv2.imwrite(rgb_p, cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR))
+    np.save(dep_p, depth)
+    cfg_p = str(tmp_path / "cfg.yaml")
+    cfg.save(cfg_p)
+    mod.main(["--lidf_ckpt", ldir, "--cfg_paths", cfg_p,
+              "--rgb", rgb_p, "--depth", dep_p, "--out", out_p,
+              "--fx", str(intr[0]), "--fy", str(intr[1]),
+              "--cx", str(intr[2]), "--cy", str(intr[3])])
+    done = np.load(out_p)
+    assert done.shape == depth.shape
+    np.testing.assert_array_equal(done[depth != 0], depth[depth != 0])
+    assert np.isfinite(done).all()
+
+
+def test_complete_mesh_matches_single_device(ckpt_dirs):
+    """Multi-chip serving: an 8-device (data x rays) mesh — 2 frames on the
+    data axis, rays split 4-way — completes to the same depths as the
+    single-device path."""
+    cfg, ldir, _ = ckpt_dirs
+    dc1 = DepthCompleter.from_checkpoint(ldir, cfg=cfg, batch_size=2)
+    dc8 = DepthCompleter.from_checkpoint(ldir, cfg=cfg, batch_size=2,
+                                         mesh="auto")
+    assert dc8.mesh is not None and dc8.mesh.devices.size == 8
+    rgb, depth, intr = _frame(11)
+    rgb2, depth2, intr2 = _frame(13)
+    out1 = dc1.complete_batch([rgb, rgb2], [depth, depth2], [intr, intr2])
+    out8 = dc8.complete_batch([rgb, rgb2], [depth, depth2], [intr, intr2])
+    np.testing.assert_allclose(out8["depth"], out1["depth"], atol=1e-5)
