@@ -69,6 +69,7 @@ def build_lidf(cfg: Config, static: LIDFStatic) -> LIDFModel:
         decode_train_rays_per_tile=cfg.tpu.get("decode_train_rays_per_tile",
                                                192),
         decode_bwd=cfg.tpu.get("decode_bwd", "xla"),
+        decode_serve_table=bool(cfg.tpu.get("decode_serve_table", False)),
         remat_backbone=cfg.tpu.get("remat_backbone", False),
         dtype=compute_dtype(cfg),
     )

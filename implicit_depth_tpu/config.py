@@ -239,6 +239,11 @@ _DEFAULTS: Dict[str, Any] = {
         "nepoch_decay": 30,
         "decay_gamma": 0.1,
         "nepoch_ckpt": 1,
+        # preemption safety (TPU pods are preemptible; the reference only
+        # checkpoints per epoch): also write latest_network every N optimizer
+        # steps WITHIN an epoch, with enough metadata (step counter + RNG key
+        # state) for resume to re-align to the exact step. 0 = off.
+        "ckpt_every_steps": 0,
         "log_interval": 5,
         "train_vis_iter": 0,
         "val_vis_iter": 0,
@@ -280,6 +285,8 @@ _DEFAULTS: Dict[str, Any] = {
         "use_pallas_decode": "auto",
         "decode_rays_per_tile": 128,  # Pallas ray-decode tile (rays), serving
         "decode_train_rays_per_tile": 384,  # table-mode training tile (re-swept after the planar-loss/bf16-feat changes: 128->50.5, 192->48.9, 256->48.8, 384->48.3, 512->50.3 ms serial)
+        "decode_serve_table": False,  # serving voxel lookup in-kernel
+                                      # (one-hot vs pre-gathered rows; A/B'd)
         "decode_bwd": "kernel_save",  # 'kernel_save' fused + saved layer-1
                                       # pre-acts | 'kernel' fused recompute
                                       # | 'xla' recompute

@@ -211,6 +211,9 @@ class LIDFModel(nn.Module):
                                      # serial step at 128/256)
     decode_bwd: str = "xla"          # fused-kernel backward: 'xla' recompute
                                      # under jax.vjp | 'kernel' fused Pallas
+    decode_serve_table: bool = False  # serving decode via the per-image-table
+                                      # kernel (in-kernel one-hot voxel lookup)
+                                      # instead of pre-gathered rows
     remat_backbone: bool = False  # jax.checkpoint the ResNet (trade FLOPs for HBM)
     dtype: Any = jnp.float32
 
@@ -319,7 +322,7 @@ class LIDFModel(nn.Module):
                 pack_pair_pos(enter, leave).reshape(b * n_rays, kb * 6))
 
         ray_feat = jnp.concatenate([roi, dir_e], -1).reshape(b * r, -1)
-        if use_kernel and not train:
+        if use_kernel and not train and not self.decode_serve_table:
             pos = make_pos_rk(inputs, r)
             global_cell = (jnp.arange(b, dtype=jnp.int32)[:, None, None]
                            * grid.n_cells + inputs["pair_cell"])
@@ -340,7 +343,9 @@ class LIDFModel(nn.Module):
             # images and Mosaic needs the ray-block sublane dim %8==0, so the
             # ray dim is padded per image to a tile multiple (masked rows
             # decode garbage and are sliced off).
-            t = max(8, (min(self.decode_train_rays_per_tile, r) // 8) * 8)
+            t_cfg = (self.decode_train_rays_per_tile if train
+                     else self.decode_rays_per_tile)
+            t = max(8, (min(t_cfg, r) // 8) * 8)
             r_pad = -(-r // t) * t
             inp_k = inputs
             rayf = ray_feat.reshape(b, r, -1).astype(self.dtype)

@@ -48,13 +48,47 @@ class Checkpointer:
                     {"state": _strip_static(state)}, dict(meta or {}, epoch=epoch))
 
     def _write(self, path: str, tree: Any, meta: Dict) -> None:
-        # orbax writes to its own tmp dir and renames atomically; meta (free-
-        # form dict: epoch, best metrics) goes in a JSON sidecar
-        self._ckptr.save(path, tree, force=True)
-        self._ckptr.wait_until_finished()
+        """Crash-safe overwrite. orbax's ``force=True`` DELETES the existing
+        destination before committing its tmp dir — reproduced on this image:
+        a kill during the (multi-second) save window leaves only
+        ``*.orbax-checkpoint-tmp`` and the previous checkpoint is GONE, which
+        defeats preemption-safe checkpointing (ckpt_every_steps). Instead:
+        save to ``<path>.next``, then swap with renames so a complete
+        snapshot exists on disk at every instant — the previous one survives
+        as ``<path>.prev`` (restore/latest_exists fall back to it) until the
+        new one is in place. meta (free-form dict: epoch, best metrics,
+        mid-epoch step/RNG) rides in a JSON sidecar; only the µs-wide rename
+        gaps can leave a dir/meta mismatch, vs. seconds of total loss before.
+        """
         import json
-        with open(path + ".meta.json", "w") as f:
+        import shutil
+        nxt = path + ".next"
+        if os.path.isdir(nxt):
+            shutil.rmtree(nxt)
+        import glob as _glob
+        for stale in _glob.glob(nxt + "*orbax-checkpoint-tmp*"):
+            shutil.rmtree(stale, ignore_errors=True)  # killed-save leftovers
+        self._ckptr.save(nxt, tree, force=True)
+        self._ckptr.wait_until_finished()
+        with open(nxt + ".meta.json", "w") as f:
             json.dump(meta, f)
+        prev = path + ".prev"
+        if os.path.isdir(prev):
+            shutil.rmtree(prev)
+        if os.path.exists(prev + ".meta.json"):
+            os.remove(prev + ".meta.json")
+        if os.path.isdir(path):
+            os.rename(path, prev)
+            if os.path.exists(path + ".meta.json"):
+                os.replace(path + ".meta.json", prev + ".meta.json")
+        os.rename(nxt, path)
+        os.replace(nxt + ".meta.json", path + ".meta.json")
+        # swap complete — drop the safety copy (a crash right here just
+        # leaves a stale .prev for the next save to clean up)
+        if os.path.isdir(prev):
+            shutil.rmtree(prev)
+        if os.path.exists(prev + ".meta.json"):
+            os.remove(prev + ".meta.json")
 
     # -- restore ------------------------------------------------------------
     def restore(self, state_template: Any, name: str = LATEST) -> Tuple[Any, Dict]:
@@ -64,7 +98,7 @@ class Checkpointer:
         that match in shape are taken, everything else (including a
         structurally incompatible optimizer state) keeps the template's
         freshly initialized value."""
-        path = os.path.join(self.ckpt_dir, name)
+        path = self._resolve(name)
         target = {"state": _strip_static(state_template)}
         try:
             loaded = self._ckptr.restore(path, target)
@@ -88,13 +122,28 @@ class Checkpointer:
             state = _merge_static(state_template, merged)
         import json
         meta = {}
-        if os.path.exists(path + ".meta.json"):
-            with open(path + ".meta.json") as f:
-                meta = json.load(f)
+        for mp in (path + ".meta.json",
+                   path[:-len(".prev")] + ".meta.json"
+                   if path.endswith(".prev") else None):
+            if mp and os.path.exists(mp):
+                with open(mp) as f:
+                    meta = json.load(f)
+                break
         return state, meta
 
+    def _resolve(self, name: str) -> str:
+        """Checkpoint path for ``name``; falls back to the ``.prev`` snapshot
+        kept by the crash-safe swap in :meth:`_write` when a preemption hit
+        exactly between its two renames."""
+        path = os.path.join(self.ckpt_dir, name)
+        if not os.path.isdir(path) and os.path.isdir(path + ".prev"):
+            print(f"ckpt restore: {name} incomplete, using {name}.prev")
+            return path + ".prev"
+        return path
+
     def latest_exists(self) -> bool:
-        return os.path.isdir(os.path.join(self.ckpt_dir, LATEST))
+        base = os.path.join(self.ckpt_dir, LATEST)
+        return os.path.isdir(base) or os.path.isdir(base + ".prev")
 
     def list_snapshots(self):
         pat = re.compile(r"epoch(\d+)_network$")
@@ -195,6 +244,8 @@ def restore_params_only(ckpt_dir: str, params_template: Any,
     mismatched or missing leaves keep the template's init values."""
     ckptr = ocp.StandardCheckpointer()
     path = os.path.join(os.path.abspath(ckpt_dir), name)
+    if not os.path.isdir(path) and os.path.isdir(path + ".prev"):
+        path += ".prev"  # crash-safe swap fallback (Checkpointer._write)
     loaded = ckptr.restore(path)
     params = merge_compatible(params_template["params"],
                               loaded["state"].get("params", {}), "params")

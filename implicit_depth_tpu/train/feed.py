@@ -216,16 +216,23 @@ class DeviceFeeder:
             buf = jax.device_put(buf, sh)
         return ("super", buf, spec, len(group))
 
-    def epoch(self, epoch: int = 0) -> Iterator[Dict[str, jnp.ndarray]]:
+    def epoch(self, epoch: int = 0,
+              skip_steps: int = 0) -> Iterator[Dict[str, jnp.ndarray]]:
+        """``skip_steps``: drop the first N batches of the (deterministic,
+        epoch-seeded) data order without packing or transferring them —
+        mid-epoch resume after a preemption (trainer ``ckpt_every_steps``)
+        re-aligns to the exact step the checkpoint was taken at."""
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
         stop = threading.Event()
 
         def work():
             try:
                 group = []
-                for batch in self.loader.epoch(epoch):
+                for i, batch in enumerate(self.loader.epoch(epoch)):
                     if stop.is_set():
                         return
+                    if i < skip_steps:
+                        continue
                     if self.steps_per_call == 1:
                         q.put(put_batch(batch, self.mesh, self.axis,
                                         self.derive_xyz))

@@ -62,6 +62,13 @@ def make_optimizer(name: str,
         return optax.rmsprop(lr)
     if name == "sgd":
         return optax.sgd(lr)
+    if name == "lbfgs":
+        # ≙ the reference factory's LBFGS option (optimizer_utils.py:5-15 —
+        # which has a missing-return bug and crashes if selected; this one
+        # works). linesearch=None: the zoom linesearch needs value_fn threaded
+        # through update(), which a fixed-step SGD-style loop doesn't have —
+        # the lr schedule scales the L-BFGS direction instead.
+        return optax.lbfgs(lr, linesearch=None)
     raise ValueError(f"unsupported optimizer {name!r}")
 
 

@@ -139,6 +139,46 @@ class BaseTrainer:
         self.key, sub = jax.random.split(self.key)
         return sub
 
+    # -- mid-epoch (preemption-safe) checkpointing ---------------------------
+    def _apply_resume_meta(self, meta: Dict) -> int:
+        """Digest a restored checkpoint's metadata: best scalars always; a
+        mid-epoch snapshot (``step_in_epoch`` present) additionally restores
+        the RNG key state and arms the step-skip so the interrupted epoch
+        resumes at the exact optimizer step. Returns the epoch to start at."""
+        self.best.update({k: meta[k] for k in self.best if k in meta})
+        self._resume_skip_steps = 0
+        if meta.get("step_in_epoch"):
+            self._resume_skip_steps = int(meta["step_in_epoch"])
+            if "key_data" in meta:
+                self.key = jax.random.wrap_key_data(
+                    np.asarray(meta["key_data"], np.uint32))
+            start = int(meta["mid_epoch"])
+            print(f"resumed MID-epoch {start} at step "
+                  f"{self._resume_skip_steps} (best {self.best})")
+            return start
+        start = int(meta.get("epoch", -1)) + 1
+        print(f"resumed from epoch {start - 1} (best {self.best})")
+        return start
+
+    def _maybe_step_ckpt(self, epoch: int, steps_done: int) -> None:
+        """Write latest_network mid-epoch every ``ckpt_every_steps`` optimizer
+        steps (superstep granularity: saves land on dispatch boundaries).
+        Meta records the in-progress epoch, the step count, and the RNG key
+        so ``_apply_resume_meta`` restores the exact loop position; the
+        epoch-end save overwrites with step-free meta. Meters restart on a
+        mid-epoch resume, so that epoch's logged means cover the remainder."""
+        every = int(self.cfg.training.get("ckpt_every_steps", 0) or 0)
+        if not (every and self.is_main):
+            return
+        prev = getattr(self, "_last_step_ckpt", 0)
+        if steps_done // every <= prev // every:
+            return
+        self._last_step_ckpt = steps_done
+        meta = dict(self.best, mid_epoch=epoch, step_in_epoch=steps_done,
+                    key_data=np.asarray(
+                        jax.random.key_data(self.key)).tolist())
+        self.ckpt.save(self.state, epoch - 1, meta=meta, snapshot=False)
+
     # -- data ---------------------------------------------------------------
     def make_train_loader(self) -> DataLoader:
         cfg = self.cfg
@@ -185,7 +225,7 @@ class BaseTrainer:
             return 1
         return max(int(cfg.tpu.get("train_steps_per_call", 1) or 1), 1)
 
-    def _train_feed(self, epoch: int):
+    def _train_feed(self, epoch: int, skip_steps: int = 0):
         """Packed, background-threaded host→device feed (train/feed.py):
         ONE device_put per batch (or per K-step superbatch) instead of ~10,
         xyz derived on device when the dataset allows, pack work overlapped
@@ -194,7 +234,7 @@ class BaseTrainer:
             self._feeder = DeviceFeeder(
                 self.train_loader, self.mesh, "data",
                 steps_per_call=self._train_steps_per_call())
-        return self._feeder.epoch(epoch)
+        return self._feeder.epoch(epoch, skip_steps=skip_steps)
 
     def _run_train_epoch(self, epoch: int, run_one, run_super, tag: str,
                          log_keys) -> Dict[str, float]:
@@ -207,8 +247,11 @@ class BaseTrainer:
         t_start = time.time()
         phases = {"feed_wait": 0.0, "dispatch": 0.0, "harvest": 0.0}
         pending = None
-        it = -1
-        feed = iter(self._train_feed(epoch))
+        skip = getattr(self, "_resume_skip_steps", 0)
+        self._resume_skip_steps = 0  # only the interrupted epoch skips
+        self._last_step_ckpt = skip
+        it = skip - 1
+        feed = iter(self._train_feed(epoch, skip_steps=skip))
         while True:
             t0 = time.perf_counter()
             item = next(feed, None)
@@ -235,6 +278,7 @@ class BaseTrainer:
                 self._harvest_losses(epoch, pending, tag, log_keys)
                 phases["harvest"] += time.perf_counter() - t0
             pending = (first, losses)
+            self._maybe_step_ckpt(epoch, it + 1)
         if pending is not None:
             t0 = time.perf_counter()
             self._harvest_losses(epoch, pending, tag, log_keys)
@@ -298,9 +342,7 @@ class LIDFTrainer(BaseTrainer):
         self.start_epoch = 0
         if cfg.resume and self.ckpt.latest_exists():
             self.state, meta = self.ckpt.restore(self.state)
-            self.start_epoch = int(meta.get("epoch", -1)) + 1
-            self.best.update({k: meta[k] for k in self.best if k in meta})
-            print(f"resumed from epoch {self.start_epoch - 1} (best {self.best})")
+            self.start_epoch = self._apply_resume_meta(meta)
         elif cfg.checkpoint_path:
             # load initial weights from an external run (≙ train_lidf.py:73-92)
             params, bstats = restore_params_only(
@@ -491,8 +533,7 @@ class RefineTrainer(BaseTrainer):
         self.start_epoch = 0
         if cfg.resume and self.ckpt.latest_exists():
             self.state, meta = self.ckpt.restore(self.state)
-            self.start_epoch = int(meta.get("epoch", -1)) + 1
-            self.best.update({k: meta[k] for k in self.best if k in meta})
+            self.start_epoch = self._apply_resume_meta(meta)
         elif cfg.checkpoint_path:
             params, _ = restore_params_only(
                 cfg.checkpoint_path, {"params": self.state.params,

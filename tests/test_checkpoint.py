@@ -97,3 +97,36 @@ def test_merge_compatible_tolerates_mismatches():
     np.testing.assert_allclose(np.asarray(out["a"]), 1.0)      # taken
     np.testing.assert_allclose(np.asarray(out["b"]["w"]), 0.0)  # kept (shape)
     np.testing.assert_allclose(np.asarray(out["b"]["new"]), 0.0)  # kept (missing)
+
+
+def test_crash_safe_overwrite_keeps_a_snapshot(tmp_path):
+    """orbax force=True deletes the destination before committing (reproduced
+    on this image) — Checkpointer._write must never leave the disk without a
+    complete snapshot: a kill between its two renames leaves ``.prev``, which
+    latest_exists()/restore() fall back to."""
+    import os
+    import jax.numpy as jnp
+    from implicit_depth_tpu.train.checkpoint import Checkpointer, LATEST
+
+    ck = Checkpointer(str(tmp_path))
+    state_a = {"step": jnp.asarray(1), "params": {"w": jnp.ones((3,))},
+               "batch_stats": {}, "opt_state": ()}
+    ck.save(state_a, 0, meta={"tag": 1})
+    state_b = {**state_a, "params": {"w": jnp.full((3,), 2.0)}}
+    ck.save(state_b, 1, meta={"tag": 2})
+
+    # simulate a preemption exactly between the two renames of the NEXT save:
+    # the main dir is gone, only .prev (the previous complete snapshot) exists
+    base = os.path.join(str(tmp_path), LATEST)
+    os.rename(base, base + ".prev")
+    os.replace(base + ".meta.json", base + ".prev.meta.json")
+    assert ck.latest_exists()
+    restored, meta = ck.restore(dict(state_b))
+    assert float(restored["params"]["w"][0]) == 2.0
+    assert meta["tag"] == 2
+
+    # a subsequent save heals the layout
+    ck.save(state_a, 2, meta={"tag": 3})
+    assert os.path.isdir(base)
+    _, meta = ck.restore(dict(state_a))
+    assert meta["tag"] == 3

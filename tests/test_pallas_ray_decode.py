@@ -280,3 +280,40 @@ def test_custom_vjp_grads_match_xla(data):
     for a, b in zip(jax.tree.leaves(g_k), jax.tree.leaves(g_x)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_model_serve_table_matches_rows():
+    """tpu.decode_serve_table routes the SERVING decode through the
+    per-image-table kernel (in-kernel one-hot voxel lookup) instead of
+    pre-gathered rows — outputs must match the rows path exactly (the
+    one-hot picks a single bf16 element under f32 accumulation). Measured a
+    perf wash on v5e (rows 11.3-13.2 ms vs table 12.7-13.0 ms full fwd), so
+    rows stays the default; the knob lets other chips re-evaluate."""
+    from implicit_depth_tpu.data.synthetic import synthetic_batch
+    from implicit_depth_tpu.geometry.voxel import make_voxel_grid
+    from implicit_depth_tpu.models.lidf import LIDFModel, LIDFStatic, prepare_inputs
+
+    H, W = 48, 64
+    static = LIDFStatic(grid=make_voxel_grid(8), n_valid=512, n_rays=256,
+                        k_pairs=8)
+    mk = lambda table: LIDFModel(
+        static=static, rgb_out=8, pnet_out=16, pnet_gf=8, imnet_gf=8,
+        resnet_stages=(1, 1, 1, 1), pairs_budget=4,
+        pairs_budget_mode="per_ray", use_pallas_decode=True,
+        decode_rays_per_tile=64, decode_serve_table=table)
+    rows_m, table_m = mk(False), mk(True)
+
+    raw = synthetic_batch(5, 2, H, W)
+    batch = {k: jnp.asarray(v) for k, v in raw.items()}
+    inp = jax.jit(lambda b, k: prepare_inputs(static, b, k, train=True))(
+        batch, jax.random.key(0))
+    variables = jax.jit(lambda k, i: rows_m.init(
+        k, i, train=False, use_gt_label=True))(jax.random.key(1), inp)
+    out_a = jax.jit(lambda v, i: rows_m.apply(v, i, train=False,
+                                              use_gt_label=True))(variables, inp)
+    out_b = jax.jit(lambda v, i: table_m.apply(v, i, train=False,
+                                               use_gt_label=True))(variables, inp)
+    np.testing.assert_allclose(np.asarray(out_b["prob_logit"]),
+                               np.asarray(out_a["prob_logit"]), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_b["pred_pos"]),
+                               np.asarray(out_a["pred_pos"]), atol=2e-5)

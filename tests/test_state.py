@@ -13,14 +13,33 @@ def test_step_lr_staircase():
 
 
 def test_optimizer_factory_names():
-    for name in ("Adam", "adamw", "RMSprop", "sgd"):
+    for name in ("Adam", "adamw", "RMSprop", "sgd", "LBFGS"):
         tx = make_optimizer(name, 1e-3)
         assert tx is not None
     try:
-        make_optimizer("lbfgs", 1e-3)
+        make_optimizer("newton", 1e-3)
         assert False
     except ValueError:
         pass
+
+
+def test_lbfgs_steps():
+    """The reference factory's LBFGS branch crashes (missing return,
+    optimizer_utils.py:14-15); ours must actually optimize."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    tx = make_optimizer("lbfgs", 1.0)
+    params = {"w": jnp.asarray([3.0, -2.0])}
+    state = tx.init(params)
+    loss = lambda p: jnp.sum(p["w"] ** 2)
+    for _ in range(5):
+        g = jax.grad(loss)(params)
+        upd, state = tx.update(g, state, params)
+        params = optax.apply_updates(params, upd)
+    # curvature pairs make the direction Newton-exact on a quadratic
+    assert float(loss(params)) < 1e-6
 
 
 def test_make_tx_applies_schedule():
