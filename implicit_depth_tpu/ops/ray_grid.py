@@ -27,7 +27,9 @@ import numpy as np
 
 from implicit_depth_tpu.geometry.voxel import VoxelGrid
 
-_BIG = jnp.float32(1e10)
+# NB: no module-level jnp constants here — creating a jax array at import
+# time initializes the default backend, which breaks late platform overrides
+# (e.g. dryrun_multichip's CPU-mesh switch under the axon sitecustomize)
 
 
 def max_cells_crossed(grid: VoxelGrid) -> int:
