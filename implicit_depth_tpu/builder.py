@@ -91,5 +91,9 @@ def build_refine(cfg: Config, static: LIDFStatic) -> RefineModel:
         n_iter=r.n_iter,
         use_sigmoid=r.use_sigmoid,
         offset_range=tuple(r.offset_range),
+        use_pallas_decode=_resolve_pallas(cfg.tpu.get("use_pallas_decode",
+                                                      "auto")),
+        decode_rows_per_tile=cfg.tpu.get("refine_decode_rows_per_tile", 2000),
+        decode_bwd=cfg.tpu.get("decode_bwd", "xla"),
         dtype=compute_dtype(cfg),
     )

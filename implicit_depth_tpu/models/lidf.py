@@ -260,12 +260,17 @@ class LIDFModel(nn.Module):
             )
             lead = pair_vox.shape[:-1]
             rows = lambda x: x.reshape(-1, x.shape[-1])
-            fn = fused_pair_decode if self.use_pallas_decode else xla_pair_decode
+            kw = {}
+            if self.use_pallas_decode:
+                fn = fused_pair_decode
+                kw["interpret"] = jax.default_backend() != "tpu"
+            else:
+                fn = xla_pair_decode
             off, logit = fn(rows(pair_vox), rows(roi_rows), rows(enter),
                             rows(leave), rows(dir_rows),
                             self._decoder_weights(), multires=self.multires,
                             n_iter=self.n_iter, use_sigmoid=self.use_sigmoid,
-                            dtype=self.dtype)
+                            dtype=self.dtype, **kw)
             return off.reshape(lead), logit.reshape(lead)
         enter_e = positional_encoding(enter, self.multires, self.pos_encode)
         leave_e = positional_encoding(leave, self.multires, self.pos_encode)

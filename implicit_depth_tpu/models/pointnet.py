@@ -33,14 +33,17 @@ class PointNet2Stage(nn.Module):
         dense = lambda n: nn.Dense(n, dtype=self.dtype)
         relu = nn.relu
 
+        # scatters run in the compute dtype: post-ReLU values are exactly
+        # representable, so max in bf16 == max in f32 on these inputs, and
+        # the 128-ch scatter's bytes halve (scripts/probe_segmax.py)
         p1 = relu(dense(self.gf_dim)(inp_feat))
-        p2 = relu(dense(half)(p1)).astype(jnp.float32)
+        p2 = relu(dense(half)(p1))
         v1 = segment_max0(p2, seg_ids, num_segments, valid)
-        v1 = relu(dense(half)(v1.astype(self.dtype))).astype(jnp.float32)
+        v1 = relu(dense(half)(v1.astype(self.dtype)))
 
         p3 = jnp.concatenate([v1[seg_ids].astype(self.dtype), p2.astype(self.dtype)], axis=-1)
         p4 = relu(dense(self.out_channels)(p3))
-        p5 = relu(dense(self.out_channels)(p4)).astype(jnp.float32)
+        p5 = relu(dense(self.out_channels)(p4))
         v2 = segment_max0(p5, seg_ids, num_segments, valid)
         v2 = relu(dense(self.out_channels)(v2.astype(self.dtype))).astype(jnp.float32)
         return v2

@@ -67,6 +67,9 @@ class RefineModel(nn.Module):
     n_iter: int = 2
     use_sigmoid: bool = False
     offset_range: tuple = (-0.2, 0.2)
+    use_pallas_decode: bool = False   # fused TPU kernel for the IEF decode
+    decode_rows_per_tile: int = 2000  # kernel tile (rows = rays)
+    decode_bwd: str = "xla"           # kernel backward: 'xla' recompute
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -139,16 +142,48 @@ class RefineModel(nn.Module):
         pos_e = positional_encoding(pos_inp, self.multires, self.pos_encode)
         dir_e = positional_encoding(inputs["miss_dir"], self.multires_views,
                                     self.pos_encode)
-        # NB: one embed concat + the decoder's internal layer-1 hoist is the
-        # measured optimum; splitting layer 1 across the four embed parts
-        # (IEF.from_parts) materializes 4 (R, 4g) partial products and traced
-        # SLOWER (8.1 vs 7.1 ms for the 2-iteration refine) — don't redo
-        embed = jnp.concatenate([end_feat, lidf_out["roi_feat"], pos_e,
-                                 dir_e], -1).astype(self.dtype)
-        off = self.offset_dec(embed)[..., 0]
+        fused_ok = (self.use_pallas_decode and self.offdec_type == "IEF"
+                    and self.pos_encode and not self.is_initializing())
+        if fused_ok:
+            # fused Pallas IEF decode (ops/pallas_ray_decode.fused_ief_rows):
+            # the (N, 334) embed concat never materializes — parts go in
+            # separately (rc = [roi | dir] is iteration-constant and CSEs
+            # across the forward_times loop), layer 1 is split/hoisted and
+            # the MLP chain runs with VMEM-resident weights
+            from implicit_depth_tpu.ops.pallas_ray_decode import fused_ief_rows
+            rc = jnp.concatenate([lidf_out["roi_feat"], dir_e], -1)
+            off = fused_ief_rows(
+                end_feat.reshape(b * r, -1).astype(self.dtype),
+                rc.reshape(b * r, -1).astype(self.dtype),
+                pos_e.reshape(b * r, -1).astype(self.dtype),
+                self._ief_weights(), self.n_iter,
+                self.offset_dec.init_offset, self.use_sigmoid, self.dtype,
+                self.decode_rows_per_tile,
+                jax.default_backend() != "tpu",  # interpret off-TPU
+                self.decode_bwd).reshape(b, r)
+        else:
+            # NB: one embed concat + the decoder's internal layer-1 hoist is
+            # the measured optimum for the XLA path; splitting layer 1 across
+            # the four embed parts (IEF.from_parts) materializes 4 (R, 4g)
+            # partial products and traced SLOWER (8.1 vs 7.1 ms for the
+            # 2-iteration refine) — don't redo
+            embed = jnp.concatenate([end_feat, lidf_out["roi_feat"], pos_e,
+                                     dir_e], -1).astype(self.dtype)
+            off = self.offset_dec(embed)[..., 0]
         lo, hi = self.offset_range
         scaled = off * (hi - lo) + lo
         return pred_pos + scaled[..., None] * inputs["miss_dir"]
+
+    def _ief_weights(self) -> Dict[str, jnp.ndarray]:
+        """Flatten the IEF params into the fused kernel's weight-dict layout
+        (ops/pallas_ray_decode.fused_ief_rows)."""
+        p = self.offset_dec.variables["params"]
+        mlp = p["_MLP4_0"]
+        w = {"enc_w": p["Dense_0"]["kernel"], "enc_b": p["Dense_0"]["bias"]}
+        for i in range(4):
+            w[f"w{i + 1}"] = mlp[f"Dense_{i}"]["kernel"]
+            w[f"b{i + 1}"] = mlp[f"Dense_{i}"]["bias"]
+        return w
 
 
 def refine_forward(model: RefineModel, params, inputs, lidf_out,

@@ -27,7 +27,12 @@ def segment_max0(data: jnp.ndarray,
     Returns (num_segments, C); empty segments are exactly 0.
     """
     if valid is not None:
-        data = jnp.where(valid[:, None], data, -jnp.inf)
+        # fill in data.dtype: a python -inf promotes bf16 data to f32 and
+        # doubles the scatter's bytes — the 128-ch scatter-max measured 2x
+        # slower in f32 (scripts/probe_segmax.py; 64-ch is row-overhead-bound
+        # either way). Post-ReLU inputs are exactly representable, so the
+        # reduced-precision scatter is bit-identical.
+        data = jnp.where(valid[:, None], data, jnp.asarray(-jnp.inf, data.dtype))
         segment_ids = jnp.where(valid, segment_ids, 0)
     out = jax.ops.segment_max(data, segment_ids, num_segments=num_segments)
-    return jnp.where(jnp.isfinite(out), out, 0.0)
+    return jnp.where(jnp.isfinite(out), out, jnp.zeros((), data.dtype))

@@ -9,6 +9,8 @@ Run:
   PYTHONPATH=/root/repo:/root/.axon_site python scripts/profile_refine.py
 """
 
+import sys
+
 import jax
 import jax.numpy as jnp
 
@@ -23,10 +25,16 @@ H, W, BS = 240, 320, 4
 
 
 def main():
+    tpu_over = {"compute_dtype": "bfloat16"}
+    if "--xla" in sys.argv:       # A/B: force the XLA refine decode path
+        tpu_over["use_pallas_decode"] = False
+    for a in sys.argv[1:]:        # e.g. --tile=512
+        if a.startswith("--tile="):
+            tpu_over["refine_decode_rows_per_tile"] = int(a.split("=")[1])
     cfg = load_config(overrides={
         "mask_type": "all",
         "dataset": {"img_height": H, "img_width": W},
-        "tpu": {"compute_dtype": "bfloat16"},
+        "tpu": tpu_over,
     })
     static = build_static(cfg)
     model = build_lidf(cfg, static)

@@ -113,6 +113,29 @@ def main():
             for _ in range(ITERS):
                 r = fn(variables, inputs)
             r.block_until_ready()
+    elif mode == "refine":
+        # stage-2 only: forward_times refine iterations on a fixed lidf_out
+        from implicit_depth_tpu.builder import build_refine
+        refine = build_refine(cfg, static)
+        lidf_out = jax.jit(lambda v, i: model.apply(
+            v, i, train=False, use_gt_label=False))(variables, inputs)
+        rvars = jax.jit(lambda kk, i, o: refine.init(
+            kk, i, o, o["pred_pos"]))(jax.random.key(4), inputs, lidf_out)
+        fwd_times = int(cfg.refine.forward_times)
+
+        @jax.jit
+        def fn(rv, i, o):
+            pred = o["pred_pos"]
+            for _ in range(fwd_times):
+                pred = refine.apply(rv, i, o, pred)
+            return pred
+
+        r = fn(rvars, inputs, lidf_out)
+        r.block_until_ready()
+        with jax.profiler.trace(out):
+            for _ in range(ITERS):
+                r = fn(rvars, inputs, lidf_out)
+            r.block_until_ready()
     else:
         from implicit_depth_tpu.parallel.mesh import make_mesh, replicate
         from implicit_depth_tpu.train.state import TrainState, make_tx

@@ -317,3 +317,130 @@ def test_model_serve_table_matches_rows():
                                np.asarray(out_a["prob_logit"]), atol=2e-5)
     np.testing.assert_allclose(np.asarray(out_b["pred_pos"]),
                                np.asarray(out_a["pred_pos"]), atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Stage-2 fused IEF decode (fused_ief_rows)
+# ---------------------------------------------------------------------------
+
+C_END, C_RC, C_POS = 32, 24 + 27, 51
+
+
+def _ief_weights(rng):
+    c_in = C_END + C_RC + C_POS + 16
+    dims = [(c_in, GF4), (GF4, GF4 // 2), (GF4 // 2, GF4 // 4), (GF4 // 4, 1)]
+    w = {"enc_w": rng.normal(size=(1, 16)).astype(np.float32),
+         "enc_b": rng.normal(size=(16,)).astype(np.float32)}
+    for i, (a, b) in enumerate(dims, 1):
+        w[f"w{i}"] = (rng.normal(size=(a, b)) * 0.2).astype(np.float32)
+        w[f"b{i}"] = (rng.normal(size=(b,)) * 0.1).astype(np.float32)
+    return {k: jnp.asarray(v) for k, v in w.items()}
+
+
+@pytest.fixture(scope="module")
+def ief_data():
+    rng = np.random.default_rng(13)
+    n = 96
+    end = rng.normal(size=(n, C_END)).astype(np.float32)
+    rc = rng.normal(size=(n, C_RC)).astype(np.float32)
+    pos = (rng.normal(size=(n, C_POS)) * 0.5).astype(np.float32)
+    return (jnp.asarray(end), jnp.asarray(rc), jnp.asarray(pos),
+            _ief_weights(rng))
+
+
+def test_xla_ief_rows_matches_flax_ief(ief_data):
+    """The split-layer-1 parts math is a reassociation of the flax IEF
+    module over the concatenated embed [end | roi | pos | dir]."""
+    from implicit_depth_tpu.models.imnet import IEF
+    from implicit_depth_tpu.ops.pallas_ray_decode import xla_ief_rows
+
+    end, rc, pos, w = ief_data
+    # embed layout is [end | roi | pos | dir]; rc = [roi | dir]
+    c_roi = C_RC - 27
+    embed = jnp.concatenate([end, rc[:, :c_roi], pos, rc[:, c_roi:]], -1)
+    mod = IEF(out_dim=1, gf_dim=GF4 // 4, n_iter=2, dtype=jnp.float32)
+    params = {"params": {
+        "Dense_0": {"kernel": w["enc_w"], "bias": w["enc_b"]},
+        "_MLP4_0": {f"Dense_{i}": {"kernel": w[f"w{i + 1}"],
+                                   "bias": w[f"b{i + 1}"]} for i in range(4)},
+    }}
+    want = mod.apply(params, embed)[..., 0]
+    got = xla_ief_rows(end, rc, pos, w, n_iter=2, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_fused_ief_rows_matches_xla(ief_data):
+    from implicit_depth_tpu.ops.pallas_ray_decode import (
+        fused_ief_rows,
+        xla_ief_rows,
+    )
+
+    end, rc, pos, w = ief_data
+    for n in (96, 70):  # 70 exercises ragged tile padding (tile 32)
+        want = xla_ief_rows(end[:n], rc[:n], pos[:n], w, n_iter=2,
+                            dtype=jnp.float32)
+        got = fused_ief_rows(end[:n], rc[:n], pos[:n], w, 2, 0.001, False,
+                             jnp.float32, 32, True)  # interpret mode
+        assert got.shape == (n,)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
+
+
+def test_fused_ief_rows_grads_match_xla(ief_data):
+    from implicit_depth_tpu.ops.pallas_ray_decode import (
+        fused_ief_rows,
+        xla_ief_rows,
+    )
+
+    end, rc, pos, w = ief_data
+
+    def loss_kernel(e, r, p, ws):
+        return jnp.sum(fused_ief_rows(e, r, p, ws, 2, 0.001, False,
+                                      jnp.float32, 32, True) * 1.3)
+
+    def loss_xla(e, r, p, ws):
+        return jnp.sum(xla_ief_rows(e, r, p, ws, n_iter=2,
+                                    dtype=jnp.float32) * 1.3)
+
+    g_k = jax.grad(loss_kernel, argnums=(0, 1, 2, 3))(end, rc, pos, w)
+    g_x = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(end, rc, pos, w)
+    for a, b in zip(jax.tree.leaves(g_k), jax.tree.leaves(g_x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=2e-5)
+
+
+def test_refine_model_fused_matches_plain():
+    """RefineModel with use_pallas_decode=True (interpret mode on CPU) must
+    reproduce the plain flax IEF decode path."""
+    from implicit_depth_tpu.data.synthetic import synthetic_batch
+    from implicit_depth_tpu.geometry.voxel import make_voxel_grid
+    from implicit_depth_tpu.models.lidf import LIDFModel, LIDFStatic, prepare_inputs
+    from implicit_depth_tpu.models.refine import RefineModel
+
+    H, W = 48, 64
+    static = LIDFStatic(grid=make_voxel_grid(8), n_valid=512, n_rays=256,
+                        k_pairs=8)
+    lidf = LIDFModel(static=static, rgb_out=8, pnet_out=16, pnet_gf=8,
+                     imnet_gf=8, resnet_stages=(1, 1, 1, 1), pairs_budget=4,
+                     pairs_budget_mode="per_ray")
+    mk = lambda pallas: RefineModel(
+        static=static, pnet_out=16, pnet_gf=8, imnet_gf=8,
+        use_pallas_decode=pallas, decode_rows_per_tile=64)
+    plain, fused = mk(False), mk(True)
+
+    raw = synthetic_batch(7, 2, H, W)
+    batch = {k: jnp.asarray(v) for k, v in raw.items()}
+    inp = jax.jit(lambda b, k: prepare_inputs(static, b, k, train=True))(
+        batch, jax.random.key(0))
+    variables = jax.jit(lambda k, i: lidf.init(
+        k, i, train=False, use_gt_label=True))(jax.random.key(1), inp)
+    lout = jax.jit(lambda v, i: lidf.apply(v, i, train=False,
+                                           use_gt_label=True))(variables, inp)
+    rvars = jax.jit(lambda k, i, o: plain.init(
+        k, i, o, o["pred_pos"]))(jax.random.key(2), inp, lout)
+    out_a = jax.jit(lambda v, i, o: plain.apply(
+        v, i, o, o["pred_pos"]))(rvars, inp, lout)
+    out_b = jax.jit(lambda v, i, o: fused.apply(
+        v, i, o, o["pred_pos"]))(rvars, inp, lout)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_a),
+                               atol=2e-5)
