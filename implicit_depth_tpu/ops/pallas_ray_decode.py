@@ -70,20 +70,17 @@ def _posenc_consts(multires: int):
     return smat, phase
 
 
-def _posenc_pair(pos6, smat, phase, dtype):
-    """pos6: (rows, 6) f32 = [enter xyz | leave xyz]. Returns
-    (rows, 6·(1+2·multires)) in ``dtype`` laid out as
-    [enter | sin/cos blocks ... | leave | sin/cos blocks ...] matching
-    models/embedder.py (per-freq sin block then cos block). smat/phase
-    from ``_posenc_consts`` (passed in so the kernel gets them as VMEM
-    operands)."""
-    trig = jnp.sin(jax.lax.dot_general(
+def _trig_block(pos6, smat, phase):
+    """(rows, 6) f32 raw positions -> (rows, 12·multires) f32 sin/cos block
+    in ``_posenc_consts`` column order: one power-of-two scale matmul + a
+    single full-lane sin() (cos via the +π/2 phase). The raw positions and
+    this block are the ONLY pe tensors the decode ever builds — layer 1 is
+    split over [vox | pos6 | trig] rows so the (rows, 102) encoding and the
+    pair_in concat never materialize (module-level hook so
+    scripts/probe_decode_split.py can ablate it)."""
+    return jnp.sin(jax.lax.dot_general(
         pos6, smat, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + phase)
-    half = trig.shape[-1] // 2
-    return jnp.concatenate(
-        [pos6[:, 0:3], trig[:, :half], pos6[:, 3:6], trig[:, half:]],
-        axis=-1).astype(dtype)
 
 
 def pack_pair_pos(enter, leave):
@@ -168,14 +165,21 @@ def _save_layout(save_mode, g, g2, g3, n_iter, dtype):
     return []
 
 
-def _decode_rows(pair_vox, pe, ray_e1_off, ray_e1_prob, w, kb,
+def _decode_rows(pair_vox, pos6, ray_e1_off, ray_e1_prob, w, kb,
                  *, n_iter, init_offset, use_sigmoid, dtype,
                  save_mode=None):
-    """Shared tile math. pair_vox (rows, Cv) ``dtype``; pe (rows, 102)
-    ``dtype``; ray_e1_* (rows/kb, 4g) f32 (per-ray layer-1 partials);
-    w: split weights. Returns (offset (rows,), logit (rows,)) f32;
-    with ``save_mode`` also a dict of saved activations (``_save_layout``)
-    for the save-mode training backwards."""
+    """Shared tile math. pair_vox (rows, Cv) ``dtype``; pos6 (rows, 6) f32
+    raw [enter xyz | leave xyz]; ray_e1_* (rows/kb, 4g) f32 (per-ray layer-1
+    partials); w: split weights. Returns (offset (rows,), logit (rows,))
+    f32; with ``save_mode`` also a dict of saved activations
+    (``_save_layout``) for the save-mode training backwards.
+
+    The positional encoding is never materialized: layer 1 is split over the
+    embed's [vox | pos6 | trig] parts (a pure row reindex of W1 —
+    ``_prep_weights``), so only the (rows, 12·multires) sin() block is
+    computed and the pe/pair_in concats disappear. The concat+cast chain was
+    the measured kernel hotspot: posenc-minus-sin alone cost ~1.7 ms of the
+    5.5 ms serving kernel (scripts/probe_decode_split.py)."""
     rows = pair_vox.shape[0]
     act = lambda v: jnp.where(v > 0, v, LEAKY * v)
     # Mosaic requires 32-bit matmul accumulation ('Expected matmul acc to be
@@ -184,7 +188,12 @@ def _decode_rows(pair_vox, pe, ray_e1_off, ray_e1_prob, w, kb,
         a.astype(dtype), b.astype(dtype), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
-    pair_in = jnp.concatenate([pair_vox, pe], axis=-1)
+    trig = _trig_block(pos6, w["pe_smat"], w["pe_phase"])
+
+    def pair_l1(pre):  # Σ part_i @ W1_part_i over [vox | pos6 | trig]
+        return (dot(pair_vox, w[f"{pre}v_w1"])
+                + dot(pos6, w[f"{pre}p6_w1"])
+                + dot(trig, w[f"{pre}tr_w1"]))
 
     def bcast(ray_part):  # (rows/kb, 4g) -> (rows, 4g)
         t = ray_part.shape[0]
@@ -195,8 +204,7 @@ def _decode_rows(pair_vox, pe, ray_e1_off, ray_e1_prob, w, kb,
     saves = {}
 
     # --- offset decoder (IEF, layer-1 hoisted across iterations) ----------
-    e1_off = (dot(pair_in, w["offp_w1"], jnp.float32) + bcast(ray_e1_off)
-              + w["off_b1"])
+    e1_off = pair_l1("off") + bcast(ray_e1_off) + w["off_b1"]
     a_vec = dot(w["off_enc_w"], w["offx_w1"], jnp.float32)       # (1, 4g)
     c_vec = dot(w["off_enc_b"][None, :], w["offx_w1"], jnp.float32)[0]
     offset = jnp.full((rows, 1), init_offset, jnp.float32)
@@ -209,8 +217,7 @@ def _decode_rows(pair_vox, pe, ray_e1_off, ray_e1_prob, w, kb,
         offset = offset + dot(h3, w["off_w4"], jnp.float32) + w["off_b4"]
 
     # --- termination-probability decoder (IMNet) ---------------------------
-    z1p = (dot(pair_in, w["probp_w1"], jnp.float32) + bcast(ray_e1_prob)
-           + w["prob_b1"])
+    z1p = pair_l1("prob") + bcast(ray_e1_prob) + w["prob_b1"]
     h = act(z1p).astype(dtype)
     h2p = act(dot(h, w["prob_w2"]) + w["prob_b2"].astype(dtype))
     h3p = act(dot(h2p, w["prob_w3"]) + w["prob_b3"].astype(dtype))
@@ -228,7 +235,9 @@ def _decode_rows(pair_vox, pe, ray_e1_off, ray_e1_prob, w, kb,
 def _prep_weights(weights: Dict[str, jnp.ndarray], c_vox: int, c_roi: int,
                   c_pos: int, c_dir: int, dtype):
     """Reorganize the pipeline weight dict (ops/pallas_decode.py layout) into
-    the split pair/ray form this kernel consumes."""
+    the split pair/ray form this kernel consumes. The pair part is further
+    split over the pe layout [enter3 | trigE | leave3 | trigL] into raw-pos6
+    rows and trig rows so the posenc never materializes (``_decode_rows``)."""
     offp, offr = split_l1(weights["off_w1"], c_vox, c_roi, c_pos, c_dir)
     # IEF w1 carries 16 extra offset-enc rows at the END of the input dim;
     # keep them separate (offx) — they multiply the encoded running offset.
@@ -237,10 +246,23 @@ def _prep_weights(weights: Dict[str, jnp.ndarray], c_vox: int, c_roi: int,
     offp = offp[:offp.shape[0] - n_extra] if n_extra else offp
     probp, probr = split_l1(weights["prob_w1"], c_vox, c_roi, c_pos, c_dir)
     multires = (c_pos // 6 - 1) // 2
+    half = c_pos // 2  # 3 + 6·multires per position
+
+    def split_pe(pair_w):
+        """(c_vox+c_pos, g) -> vox rows, pos6 rows (6, g), trig rows."""
+        v, pe = pair_w[:c_vox], pair_w[c_vox:]
+        p6 = jnp.concatenate([pe[0:3], pe[half:half + 3]], axis=0)
+        tr = jnp.concatenate([pe[3:half], pe[half + 3:]], axis=0)
+        return v, p6, tr
+
+    offv, offp6, offtr = split_pe(offp)
+    probv, probp6, probtr = split_pe(probp)
     smat, phase = _posenc_consts(multires)
     w = {
-        "offp_w1": offp, "offr_w1": offr, "offx_w1": offx,
-        "probp_w1": probp, "probr_w1": probr,
+        "offv_w1": offv, "offp6_w1": offp6, "offtr_w1": offtr,
+        "offr_w1": offr, "offx_w1": offx,
+        "probv_w1": probv, "probp6_w1": probp6, "probtr_w1": probtr,
+        "probr_w1": probr,
         "off_enc_w": weights["off_enc_w"], "off_enc_b": weights["off_enc_b"],
         "pe_smat": smat, "pe_phase": phase,
     }
@@ -276,8 +298,8 @@ def xla_ray_decode(pair_vox: jnp.ndarray, pos: jnp.ndarray,
         preferred_element_type=jnp.float32)
     ray_e1_off = dot(ray_feat, w["offr_w1"])
     ray_e1_prob = dot(ray_feat, w["probr_w1"])
-    pe = _posenc_pair(pos[:, :6], w["pe_smat"], w["pe_phase"], dtype)
-    return _decode_rows(pair_vox.astype(dtype), pe, ray_e1_off, ray_e1_prob,
+    return _decode_rows(pair_vox.astype(dtype), pos[:, :6].astype(jnp.float32),
+                        ray_e1_off, ray_e1_prob,
                         w, kb, n_iter=n_iter, init_offset=init_offset,
                         use_sigmoid=use_sigmoid, dtype=dtype)
 
@@ -393,8 +415,7 @@ def _fused_fwd_impl(pair_vox, pos, ray_feat, weights, kb, multires, n_iter,
         ray_e1_off = dot(ray_rows, wd["offr_w1"])
         ray_e1_prob = dot(ray_rows, wd["probr_w1"])
         pos6 = jnp.concatenate(_sel_cols(pos_ref[:], t, kb, 6, range(6)), -1)
-        pe = _posenc_pair(pos6, wd["pe_smat"], wd["pe_phase"], dtype)
-        out = _decode_rows(pair_vox_t, pe, ray_e1_off,
+        out = _decode_rows(pair_vox_t, pos6, ray_e1_off,
                            ray_e1_prob, wd, kb, n_iter=n_iter,
                            init_offset=init_offset,
                            use_sigmoid=use_sigmoid, dtype=dtype,
@@ -898,10 +919,13 @@ def _fused_bwd_impl(pair_vox, pos, ray_feat, weights, g_off, g_logit,
     wkeys = sorted(w)
     warrs = [jnp.atleast_2d(w[k]) for k in wkeys]
 
+    c_tr = 12 * multires  # trig rows of the split layer 1
     # (name, shape) of the weight-grad accumulators, in output order
     acc_shapes = [
-        ("offp", (cp, g)), ("offr", (c_ray, g)),
-        ("probp", (cp, g)), ("probr", (c_ray, g)),
+        ("offv", (c_vox, g)), ("offp6", (6, g)), ("offtr", (c_tr, g)),
+        ("offr", (c_ray, g)),
+        ("probv", (c_vox, g)), ("probp6", (6, g)), ("probtr", (c_tr, g)),
+        ("probr", (c_ray, g)),
         ("offb1", (1, g)), ("probb1", (1, g)),
         ("avec", (1, g)), ("cvec", (1, g)),
         ("ow2", (g, g2)), ("ob2", (1, g2)),
@@ -967,8 +991,9 @@ def _fused_bwd_impl(pair_vox, pos, ray_feat, weights, g_off, g_logit,
         else:
             pair_vox_t = vox_ref[:].astype(dtype)
         ray_rows = ray_ref[:]
-        pe = _posenc_pair(pos6, wd["pe_smat"], wd["pe_phase"], dtype)
-        pair_in = jnp.concatenate([pair_vox_t, pe], axis=-1)
+        # trig block for the split layer 1 (pe never materializes); needed
+        # for the weight grads even in save mode
+        trig = _trig_block(pos6, wd["pe_smat"], wd["pe_phase"])
 
         def bcast(ray_part):
             return jnp.broadcast_to(
@@ -978,15 +1003,17 @@ def _fused_bwd_impl(pair_vox, pos, ray_feat, weights, g_off, g_logit,
         if save_lay:
             # layer-1 pre-activations saved by the forward: skip BOTH big
             # layer-1 matmuls and the per-ray partials (~66% of the
-            # recompute FLOPs); pair_in is still needed for weight grads
+            # recompute FLOPs); the parts are still needed for weight grads
             e1_off = sd["e1"][:].astype(jnp.float32)
             z1p = sd["z1p"][:].astype(jnp.float32)
         else:
             ray_e1_off = dot(ray_rows, wd["offr_w1"])
             ray_e1_prob = dot(ray_rows, wd["probr_w1"])
-            e1_off = (dot(pair_in, wd["offp_w1"]) + bcast(ray_e1_off)
+            e1_off = (dot(pair_vox_t, wd["offv_w1"]) + dot(pos6, wd["offp6_w1"])
+                      + dot(trig, wd["offtr_w1"]) + bcast(ray_e1_off)
                       + wd["off_b1"])
-            z1p = (dot(pair_in, wd["probp_w1"]) + bcast(ray_e1_prob)
+            z1p = (dot(pair_vox_t, wd["probv_w1"]) + dot(pos6, wd["probp6_w1"])
+                   + dot(trig, wd["probtr_w1"]) + bcast(ray_e1_prob)
                    + wd["prob_b1"])
         a_vec = dot(wd["off_enc_w"], wd["offx_w1"])            # (1, g)
         c_vec = dot(wd["off_enc_b"][None, :], wd["offx_w1"])[0]
@@ -1059,17 +1086,19 @@ def _fused_bwd_impl(pair_vox, pos, ray_feat, weights, g_off, g_logit,
         d_h1p = dot_nt(d_t2p, wd["prob_w2"])
         d_z1p = dlrelu(h1p, d_h1p)
 
-        add("offp", dot_tn(pair_in, d_e1_off))
+        for pre, d_e1 in (("off", d_e1_off), ("prob", d_z1p)):
+            add(f"{pre}v", dot_tn(pair_vox_t, d_e1))
+            add(f"{pre}p6", dot_tn(pos6, d_e1))
+            add(f"{pre}tr", dot_tn(trig, d_e1))
         add("offb1", csum(d_e1_off))
-        add("probp", dot_tn(pair_in, d_z1p))
         add("probb1", csum(d_z1p))
         d_re_off = jnp.sum(d_e1_off.reshape(t, kb, g), axis=1)   # (t, g)
         d_re_prob = jnp.sum(d_z1p.reshape(t, kb, g), axis=1)
         add("offr", dot_tn(ray_rows, d_re_off))
         add("probr", dot_tn(ray_rows, d_re_prob))
 
-        d_rows = (dot_nt(d_e1_off, wd["offp_w1"][:c_vox])
-                  + dot_nt(d_z1p, wd["probp_w1"][:c_vox]))
+        d_rows = (dot_nt(d_e1_off, wd["offv_w1"])
+                  + dot_nt(d_z1p, wd["probv_w1"]))
         if per_image:
             # d_table block for THIS image: onehotᵀ @ d_rows, accumulated in
             # VMEM across the image's tiles (block index i // tpi is
@@ -1168,16 +1197,19 @@ def _fused_bwd_impl(pair_vox, pos, ray_feat, weights, g_off, g_logit,
     enc_w = weights["off_enc_w"].astype(jnp.float32)
     enc_b = weights["off_enc_b"].astype(jnp.float32)
     d_offx = enc_w.T @ da["avec"] + enc_b[:, None] @ da["cvec"]
-    unsplit = lambda d_pair, d_ray, extra: jnp.concatenate(
-        [d_pair[:c_vox], d_ray[:c_roi], d_pair[c_vox:cp], d_ray[c_roi:]]
+    half = c_pos // 2  # pe row layout: [enter3 | trigE | leave3 | trigL]
+    pe_rows = lambda d6, dtr: [d6[:3], dtr[:half - 3], d6[3:], dtr[half - 3:]]
+    unsplit = lambda pre, d_ray, extra: jnp.concatenate(
+        [da[f"{pre}v"], d_ray[:c_roi]]
+        + pe_rows(da[f"{pre}p6"], da[f"{pre}tr"]) + [d_ray[c_roi:]]
         + ([extra] if extra is not None else []), axis=0)
     d_w = {
-        "off_w1": unsplit(da["offp"], da["offr"], d_offx),
+        "off_w1": unsplit("off", da["offr"], d_offx),
         "off_b1": da["offb1"][0],
         "off_w2": da["ow2"], "off_b2": da["ob2"][0],
         "off_w3": da["ow3"], "off_b3": da["ob3"][0],
         "off_w4": da["ow4"], "off_b4": da["ob4"][0],
-        "prob_w1": unsplit(da["probp"], da["probr"], None),
+        "prob_w1": unsplit("prob", da["probr"], None),
         "prob_b1": da["probb1"][0],
         "prob_w2": da["pw2"], "prob_b2": da["pb2"][0],
         "prob_w3": da["pw3"], "prob_b3": da["pb3"][0],

@@ -4,7 +4,7 @@ transcendentals vs lane-unpack selects.
 
 The fused kernel is one custom-call — the trace can't see inside it. This
 ablates each in-kernel component by monkeypatching the module helpers
-(`_posenc_pair` -> no-sin constant expansion, `_sel_cols` -> zeros) and
+(`_trig_block` -> no-sin / constant, `_sel_cols` -> zeros) and
 re-timing the standalone kernel at production shapes, interleaved A/B.
 
 Run:
@@ -35,21 +35,15 @@ def _weights(rng, c_embed):
     return {k: jnp.asarray(v) for k, v in w.items()}
 
 
-def pe_nosin(pos6, smat, phase, dtype):
-    """Same shapes/matmul as _posenc_pair, sin() removed."""
-    trig = jax.lax.dot_general(pos6, smat, (((1,), (0,)), ((), ())),
+def pe_nosin(pos6, smat, phase):
+    """Same shapes/matmul as _trig_block, sin() removed."""
+    return jax.lax.dot_general(pos6, smat, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32) + phase
-    half = trig.shape[-1] // 2
-    return jnp.concatenate(
-        [pos6[:, 0:3], trig[:, :half], pos6[:, 3:6], trig[:, half:]],
-        axis=-1).astype(dtype)
 
 
-def pe_const(pos6, smat, phase, dtype):
-    """No posenc at all: broadcast a constant (keeps the 102-wide shape)."""
-    n = 12 * (smat.shape[1] // 12)
-    rows = pos6.shape[0]
-    return jnp.full((rows, 6 + n), 0.25, dtype)
+def pe_const(pos6, smat, phase):
+    """No trig block at all: broadcast a constant (keeps the shape)."""
+    return jnp.full((pos6.shape[0], smat.shape[1]), 0.25, jnp.float32)
 
 
 _real_sel = prd._sel_cols
@@ -93,16 +87,16 @@ def main():
     variants["ief1"] = (None, None, 1)
     variants["ief0"] = (None, None, 0)
 
-    real_pe = prd._posenc_pair
+    real_pe = prd._trig_block
     for rep in range(3):
         for name, (pe, sel, n_iter) in variants.items():
-            prd._posenc_pair = pe or real_pe
+            prd._trig_block = pe or real_pe
             prd._sel_cols = sel or _real_sel
             try:
                 ms = device_slope_time(run(n_iter), key, pair_vox, pos,
                                        ray_feat) * 1e3
             finally:
-                prd._posenc_pair = real_pe
+                prd._trig_block = real_pe
                 prd._sel_cols = _real_sel
             print(f"rep{rep} {name:12s} {ms:8.2f} ms", flush=True)
 
