@@ -53,3 +53,19 @@ def test_segment_max0_with_negatives_and_empty(rng):
     out2 = np.asarray(segment_max0(data, ids, 4,
                                    valid=jnp.asarray([True, False, True])))
     np.testing.assert_allclose(out2[0], [-1.0, -2.0])
+
+def test_segment_max0_bf16_matches_f32(rng):
+    """The PointNet scatters run in the compute dtype (bf16 on TPU): for
+    bf16-representable inputs the reduced-precision scatter must be
+    bit-identical to the f32 one after upcast, incl. -inf masking and
+    empty-segment zeros (ops/segment.py dtype-preserving fill)."""
+    data32 = np.abs(rng.normal(size=(64, 8)).astype(np.float32))  # post-ReLU-like
+    data16 = jnp.asarray(data32, jnp.bfloat16)
+    data32 = np.asarray(data16, np.float32)  # bf16-representable values
+    ids = jnp.asarray(rng.integers(0, 9, 64), jnp.int32)
+    valid = jnp.asarray(rng.uniform(size=64) > 0.3)
+    out16 = segment_max0(data16, ids, 10, valid)
+    out32 = segment_max0(jnp.asarray(data32), ids, 10, valid)
+    assert out16.dtype == jnp.bfloat16 and out32.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(out16, np.float32),
+                                  np.asarray(out32))
