@@ -94,6 +94,5 @@ def build_refine(cfg: Config, static: LIDFStatic) -> RefineModel:
         use_pallas_decode=_resolve_pallas(cfg.tpu.get("use_pallas_decode",
                                                       "auto")),
         decode_rows_per_tile=cfg.tpu.get("refine_decode_rows_per_tile", 2000),
-        decode_bwd=cfg.tpu.get("decode_bwd", "xla"),
         dtype=compute_dtype(cfg),
     )

@@ -69,7 +69,6 @@ class RefineModel(nn.Module):
     offset_range: tuple = (-0.2, 0.2)
     use_pallas_decode: bool = False   # fused TPU kernel for the IEF decode
     decode_rows_per_tile: int = 2000  # kernel tile (rows = rays)
-    decode_bwd: str = "xla"           # kernel backward: 'xla' recompute
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -156,11 +155,10 @@ class RefineModel(nn.Module):
                 end_feat.reshape(b * r, -1).astype(self.dtype),
                 rc.reshape(b * r, -1).astype(self.dtype),
                 pos_e.reshape(b * r, -1).astype(self.dtype),
-                self._ief_weights(), self.n_iter,
+                self._ief_weights(), dir_e.shape[-1], self.n_iter,
                 self.offset_dec.init_offset, self.use_sigmoid, self.dtype,
                 self.decode_rows_per_tile,
-                jax.default_backend() != "tpu",  # interpret off-TPU
-                self.decode_bwd).reshape(b, r)
+                jax.default_backend() != "tpu").reshape(b, r)  # interpret off-TPU
         else:
             # NB: one embed concat + the decoder's internal layer-1 hoist is
             # the measured optimum for the XLA path; splitting layer 1 across

@@ -45,6 +45,14 @@ from jax.experimental.pallas import tpu as pltpu
 LEAKY = 0.02
 
 
+def _soft_clamp(x):
+    """max(min(x, 0.01x + 0.99), 0.01x) — the reference decoders' output
+    squash (implicit_net.py:96; models/imnet.py soft_clamp01). One shared
+    copy for every kernel path so the parity-critical constants cannot
+    drift between them."""
+    return jnp.maximum(jnp.minimum(x, 0.01 * x + 0.99), 0.01 * x)
+
+
 def _posenc_consts(multires: int):
     """Lane-packing constants for the pair posenc: S (6, 12·multires) and
     phase (12·multires,) such that ``sin(pos6 @ S + phase)`` emits every
@@ -223,8 +231,7 @@ def _decode_rows(pair_vox, pos6, ray_e1_off, ray_e1_prob, w, kb,
     h3p = act(dot(h2p, w["prob_w3"]) + w["prob_b3"].astype(dtype))
     logit = dot(h3p, w["prob_w4"], jnp.float32) + w["prob_b4"]
 
-    sq = jax.nn.sigmoid if use_sigmoid else (
-        lambda x: jnp.maximum(jnp.minimum(x, 0.01 * x + 0.99), 0.01 * x))
+    sq = jax.nn.sigmoid if use_sigmoid else _soft_clamp
     if save_mode:
         saves.update(e1=e1_off, z1p=z1p, off_fin=offset,
                      h2p=h2p, h3p=h3p, logit=logit)
@@ -689,16 +696,16 @@ fused_ray_decode_table.defvjp(_table_fwd, _table_bwd)
 # ---------------------------------------------------------------------------
 
 def _prep_ief_weights(weights: Dict[str, jnp.ndarray], c_end: int, c_rc: int,
-                      c_pos: int, dtype):
+                      c_pos: int, c_dir: int, dtype):
     """Split the IEF layer-1 kernel over the stage-2 embed layout
-    [end_feat(c_end) | roi(c_rc-27) | pos_e(c_pos) | dir_e(27) | enc(16)]
-    into the (end, rc=[roi|dir], pos, enc) operand groups the kernel
-    consumes — a pure row reindex of ``w1`` (models/refine.py:146)."""
+    [end_feat(c_end) | roi(c_rc-c_dir) | pos_e(c_pos) | dir_e(c_dir) |
+    enc(16)] into the (end, rc=[roi|dir], pos, enc) operand groups the
+    kernel consumes — a pure row reindex of ``w1`` (models/refine.py:146)."""
     w1 = weights["w1"]
     o1 = c_end
-    o2 = o1 + (c_rc - 27)
+    o2 = o1 + (c_rc - c_dir)
     o3 = o2 + c_pos
-    o4 = o3 + 27
+    o4 = o3 + c_dir
     w = {
         "w_end": w1[:o1],
         "w_rc": jnp.concatenate([w1[o1:o2], w1[o3:o4]], axis=0),
@@ -738,18 +745,17 @@ def _ief_rows(end_rows, rc_rows, pos_rows, w, *, n_iter, init_offset,
         h2 = act(dot(h1, w["w2"]) + w["b2"].astype(dtype))
         h3 = act(dot(h2, w["w3"]) + w["b3"].astype(dtype))
         offset = offset + dot(h3, w["w4"]) + w["b4"]
-    sq = jax.nn.sigmoid if use_sigmoid else (
-        lambda x: jnp.maximum(jnp.minimum(x, 0.01 * x + 0.99), 0.01 * x))
+    sq = jax.nn.sigmoid if use_sigmoid else _soft_clamp
     return sq(offset)[:, 0]
 
 
-def xla_ief_rows(end_rows, rc_rows, pos_rows, weights, *, n_iter=2,
+def xla_ief_rows(end_rows, rc_rows, pos_rows, weights, *, c_dir=27, n_iter=2,
                  init_offset=0.001, use_sigmoid=False,
                  dtype=jnp.bfloat16) -> jnp.ndarray:
     """Identical math, plain XLA — the kernel's correctness oracle, CPU
     fallback, and the recompute path for the custom VJP backward."""
     w = _prep_ief_weights(weights, end_rows.shape[1], rc_rows.shape[1],
-                          pos_rows.shape[1], dtype)
+                          pos_rows.shape[1], c_dir, dtype)
     return _ief_rows(end_rows, rc_rows, pos_rows, w, n_iter=n_iter,
                      init_offset=init_offset, use_sigmoid=use_sigmoid,
                      dtype=dtype)
@@ -757,9 +763,8 @@ def xla_ief_rows(end_rows, rc_rows, pos_rows, weights, *, n_iter=2,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
 def fused_ief_rows(end_rows, rc_rows, pos_rows, weights,
-                   n_iter=2, init_offset=0.001, use_sigmoid=False,
-                   dtype=jnp.bfloat16, rows_per_tile=1024, interpret=False,
-                   bwd_impl="xla"):
+                   c_dir=27, n_iter=2, init_offset=0.001, use_sigmoid=False,
+                   dtype=jnp.bfloat16, rows_per_tile=2000, interpret=False):
     """Stage-2 fused IEF decode — Pallas TPU kernel (round 3).
 
     The refine offset decode is per-RAY (no slot dim): N = B·R rows of a
@@ -773,21 +778,27 @@ def fused_ief_rows(end_rows, rc_rows, pos_rows, weights,
     VMEM-resident. Output rides a lane-dense (n_tiles, t) block (a (N, 1)
     column would be (8, 128)-tile padded at the custom-call boundary).
 
-    Returns (N,) f32 post-squash offsets. ``bwd_impl='xla'`` re-runs the
-    identical-math XLA path under ``jax.vjp`` (exact grads; stage-2
-    training is not kernel-bound the way stage-1 was).
+    ``c_dir`` is the encoded-direction width inside ``rc_rows`` (3·(1+2·
+    multires_views)) — the layer-1 row split depends on it. Returns (N,)
+    f32 post-squash offsets. The backward re-runs the identical-math XLA
+    path under ``jax.vjp`` (exact grads; stage-2 training is not
+    kernel-bound the way stage-1 was).
     """
-    return _ief_fwd_impl(end_rows, rc_rows, pos_rows, weights, n_iter,
+    return _ief_fwd_impl(end_rows, rc_rows, pos_rows, weights, c_dir, n_iter,
                          init_offset, use_sigmoid, dtype, rows_per_tile,
                          interpret)
 
 
-def _ief_fwd_impl(end_rows, rc_rows, pos_rows, weights, n_iter, init_offset,
-                  use_sigmoid, dtype, rows_per_tile, interpret):
+def _ief_fwd_impl(end_rows, rc_rows, pos_rows, weights, c_dir, n_iter,
+                  init_offset, use_sigmoid, dtype, rows_per_tile, interpret):
     n, c_end = end_rows.shape
     c_rc, c_pos = rc_rows.shape[1], pos_rows.shape[1]
-    w = _prep_ief_weights(weights, c_end, c_rc, c_pos, dtype)
+    w = _prep_ief_weights(weights, c_end, c_rc, c_pos, c_dir, dtype)
 
+    if rows_per_tile % 8:
+        raise ValueError("refine_decode_rows_per_tile must be a multiple of "
+                         f"8 (got {rows_per_tile}) — the kernel emits the "
+                         "tile's offsets as an (8, t/8) lane-dense block")
     t = rows_per_tile
     pad = (-n) % t
     if pad:
@@ -837,20 +848,20 @@ def _ief_fwd_impl(end_rows, rc_rows, pos_rows, weights, n_iter, init_offset,
     return out.reshape(-1)[:n]
 
 
-def _ief_fwd(end_rows, rc_rows, pos_rows, weights, n_iter, init_offset,
-             use_sigmoid, dtype, rows_per_tile, interpret, bwd_impl):
-    out = _ief_fwd_impl(end_rows, rc_rows, pos_rows, weights, n_iter,
+def _ief_fwd(end_rows, rc_rows, pos_rows, weights, c_dir, n_iter,
+             init_offset, use_sigmoid, dtype, rows_per_tile, interpret):
+    out = _ief_fwd_impl(end_rows, rc_rows, pos_rows, weights, c_dir, n_iter,
                         init_offset, use_sigmoid, dtype, rows_per_tile,
                         interpret)
     return out, (end_rows, rc_rows, pos_rows, weights)
 
 
-def _ief_bwd(n_iter, init_offset, use_sigmoid, dtype, rows_per_tile,
-             interpret, bwd_impl, res, g):
+def _ief_bwd(c_dir, n_iter, init_offset, use_sigmoid, dtype, rows_per_tile,
+             interpret, res, g):
     end_rows, rc_rows, pos_rows, weights = res
 
     def ref(e, rc, p, ws):
-        return xla_ief_rows(e, rc, p, ws, n_iter=n_iter,
+        return xla_ief_rows(e, rc, p, ws, c_dir=c_dir, n_iter=n_iter,
                             init_offset=init_offset,
                             use_sigmoid=use_sigmoid, dtype=dtype)
 

@@ -379,8 +379,8 @@ def test_fused_ief_rows_matches_xla(ief_data):
     for n in (96, 70):  # 70 exercises ragged tile padding (tile 32)
         want = xla_ief_rows(end[:n], rc[:n], pos[:n], w, n_iter=2,
                             dtype=jnp.float32)
-        got = fused_ief_rows(end[:n], rc[:n], pos[:n], w, 2, 0.001, False,
-                             jnp.float32, 32, True)  # interpret mode
+        got = fused_ief_rows(end[:n], rc[:n], pos[:n], w, 27, 2, 0.001,
+                             False, jnp.float32, 32, True)  # interpret mode
         assert got.shape == (n,)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-5)
@@ -395,7 +395,7 @@ def test_fused_ief_rows_grads_match_xla(ief_data):
     end, rc, pos, w = ief_data
 
     def loss_kernel(e, r, p, ws):
-        return jnp.sum(fused_ief_rows(e, r, p, ws, 2, 0.001, False,
+        return jnp.sum(fused_ief_rows(e, r, p, ws, 27, 2, 0.001, False,
                                       jnp.float32, 32, True) * 1.3)
 
     def loss_xla(e, r, p, ws):
@@ -429,6 +429,44 @@ def test_refine_model_fused_matches_plain():
     plain, fused = mk(False), mk(True)
 
     raw = synthetic_batch(7, 2, H, W)
+    batch = {k: jnp.asarray(v) for k, v in raw.items()}
+    inp = jax.jit(lambda b, k: prepare_inputs(static, b, k, train=True))(
+        batch, jax.random.key(0))
+    variables = jax.jit(lambda k, i: lidf.init(
+        k, i, train=False, use_gt_label=True))(jax.random.key(1), inp)
+    lout = jax.jit(lambda v, i: lidf.apply(v, i, train=False,
+                                           use_gt_label=True))(variables, inp)
+    rvars = jax.jit(lambda k, i, o: plain.init(
+        k, i, o, o["pred_pos"]))(jax.random.key(2), inp, lout)
+    out_a = jax.jit(lambda v, i, o: plain.apply(
+        v, i, o, o["pred_pos"]))(rvars, inp, lout)
+    out_b = jax.jit(lambda v, i, o: fused.apply(
+        v, i, o, o["pred_pos"]))(rvars, inp, lout)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_a),
+                               atol=2e-5)
+
+
+def test_refine_model_fused_nondefault_multires_views():
+    """Regression: the layer-1 row split depends on the encoded-dir width —
+    a non-default refine.multires_views must still match the plain path
+    (c_dir is threaded from dir_e's shape, not hardcoded 27)."""
+    from implicit_depth_tpu.data.synthetic import synthetic_batch
+    from implicit_depth_tpu.geometry.voxel import make_voxel_grid
+    from implicit_depth_tpu.models.lidf import LIDFModel, LIDFStatic, prepare_inputs
+    from implicit_depth_tpu.models.refine import RefineModel
+
+    H, W = 48, 64
+    static = LIDFStatic(grid=make_voxel_grid(8), n_valid=512, n_rays=256,
+                        k_pairs=8)
+    lidf = LIDFModel(static=static, rgb_out=8, pnet_out=16, pnet_gf=8,
+                     imnet_gf=8, resnet_stages=(1, 1, 1, 1), pairs_budget=4,
+                     pairs_budget_mode="per_ray")
+    mk = lambda pallas: RefineModel(
+        static=static, pnet_out=16, pnet_gf=8, imnet_gf=8, multires_views=2,
+        use_pallas_decode=pallas, decode_rows_per_tile=64)
+    plain, fused = mk(False), mk(True)
+
+    raw = synthetic_batch(9, 2, H, W)
     batch = {k: jnp.asarray(v) for k, v in raw.items()}
     inp = jax.jit(lambda b, k: prepare_inputs(static, b, k, train=True))(
         batch, jax.random.key(0))
