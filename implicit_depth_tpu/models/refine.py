@@ -125,15 +125,19 @@ class RefineModel(nn.Module):
         base = jnp.arange(b, dtype=jnp.int32)[:, None] * grid.n_cells
         seg_valid = base + inputs["vox_cell_id"]
         seg_pred = base + end_cell
-        all_inp = jnp.concatenate([valid_inp.reshape(b * n, -1),
-                                   pred_inp.reshape(b * r, -1)], 0)
-        all_seg = jnp.concatenate([seg_valid.reshape(-1), seg_pred.reshape(-1)], 0)
         pred_ok = inputs["miss_slot"] & lidf_out["has_pair"]
         if inject_mask is not None:
             pred_ok = pred_ok & inject_mask
-        all_ok = jnp.concatenate([inputs["vox_point_valid"].reshape(-1),
-                                  pred_ok.reshape(-1)], 0)
-        vox_feat = self.pnet(all_inp, all_seg, b * grid.n_cells, valid=all_ok)
+        # split streams instead of one concat: ≡ the reference's joint
+        # scatter (max is associative; pointnet.call_split docstring), and
+        # the valid points' stage-1 MLP + scatter are iteration-invariant —
+        # XLA CSEs them across the forward_times loop instead of recomputing
+        # them inside a mixed [valid | pred] concat every iteration
+        vox_feat = self.pnet.call_split(
+            [(valid_inp.reshape(b * n, -1), seg_valid.reshape(-1),
+              inputs["vox_point_valid"].reshape(-1)),
+             (pred_inp.reshape(b * r, -1), seg_pred.reshape(-1),
+              pred_ok.reshape(-1))], b * grid.n_cells)
         end_feat = vox_feat[seg_pred]                                # (B, R, 128)
 
         # -- embedding + decode (pipeline.py:1018-1029) ---------------------

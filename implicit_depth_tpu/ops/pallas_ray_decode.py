@@ -152,18 +152,21 @@ def split_l1(w1: jnp.ndarray, c_vox: int, c_roi: int, c_pos: int, c_dir: int):
     return w_pair, w_ray
 
 
-def _save_layout(save_mode, g, g2, g3, n_iter, dtype):
+def _save_layout(save_mode, g, g2, g3, c_tr, n_iter, dtype):
     """[(name, cols, dtype), ...] of the activations the forward saves for
     the training backward. 'l1': the two layer-1 pre-activations (skips the
-    two big layer-1 matmuls in the backward recompute). 'all': additionally
-    every h2/h3 and the (rows, 1) pre-squash offsets/logit — the backward
-    then recomputes NO matmuls at all (h1 is elementwise from e1), trading
-    ~0.75 GB of extra bf16 HBM round-trip for ~157 GFLOP of recompute at
-    production shapes."""
+    two big layer-1 matmuls in the backward recompute) plus the trig block
+    (the backward needs it only for the layer-1 trig weight grads — saving
+    the (rows, 12·multires) bf16 block skips the ~61M-sin recompute, the
+    measured 1-1.8 ms kernel hotspot, for ~0.25 GB of HBM round-trip).
+    'all': additionally every h2/h3 and the (rows, 1) pre-squash
+    offsets/logit — the backward then recomputes NO matmuls at all (h1 is
+    elementwise from e1), trading ~0.75 GB of extra bf16 HBM round-trip for
+    ~157 GFLOP of recompute at production shapes."""
     if save_mode == "l1":
-        return [("e1", g, dtype), ("z1p", g, dtype)]
+        return [("e1", g, dtype), ("z1p", g, dtype), ("trig", c_tr, dtype)]
     if save_mode == "all":
-        lay = [("e1", g, dtype), ("z1p", g, dtype)]
+        lay = [("e1", g, dtype), ("z1p", g, dtype), ("trig", c_tr, dtype)]
         for i in range(n_iter):
             lay += [(f"off{i}", 1, jnp.float32),
                     (f"h2_{i}", g2, dtype), (f"h3_{i}", g3, dtype)]
@@ -209,7 +212,7 @@ def _decode_rows(pair_vox, pos6, ray_e1_off, ray_e1_prob, w, kb,
         return jnp.broadcast_to(ray_part.reshape(t, 1, g4),
                                 (t, kb, g4)).reshape(rows, g4)
 
-    saves = {}
+    saves = {"trig": trig}
 
     # --- offset decoder (IEF, layer-1 hoisted across iterations) ----------
     e1_off = pair_l1("off") + bcast(ray_e1_off) + w["off_b1"]
@@ -393,7 +396,8 @@ def _fused_fwd_impl(pair_vox, pos, ray_feat, weights, kb, multires, n_iter,
     warrs = [jnp.atleast_2d(w[k]) for k in wkeys]
     g4 = weights["off_w1"].shape[1]
     g2_, g3_ = weights["off_w2"].shape[1], weights["off_w3"].shape[1]
-    save_lay = _save_layout(save_mode, g4, g2_, g3_, n_iter, dtype)
+    save_lay = _save_layout(save_mode, g4, g2_, g3_, 12 * multires, n_iter,
+                            dtype)
 
     def kernel(vox_ref, pos_ref, ray_ref, *rest):
         if save_lay:
@@ -961,7 +965,7 @@ def _fused_bwd_impl(pair_vox, pos, ray_feat, weights, g_off, g_logit,
             return d * s * (1 - s)
         return jnp.where((x > 0) & (x < 1), d, 0.01 * d)
 
-    save_lay = _save_layout(save_mode, g, g2, g3, n_iter, dtype)
+    save_lay = _save_layout(save_mode, g, g2, g3, c_tr, n_iter, dtype)
 
     def kernel(vox_ref, pos_ref, ray_ref, gpair_ref, *rest):
         if save_lay:
@@ -1002,9 +1006,13 @@ def _fused_bwd_impl(pair_vox, pos, ray_feat, weights, g_off, g_logit,
         else:
             pair_vox_t = vox_ref[:].astype(dtype)
         ray_rows = ray_ref[:]
-        # trig block for the split layer 1 (pe never materializes); needed
-        # for the weight grads even in save mode
-        trig = _trig_block(pos6, wd["pe_smat"], wd["pe_phase"])
+        # trig block for the split layer 1 (pe never materializes); in save
+        # mode the forward saved it — the bf16 reload is bit-identical to
+        # recompute+cast and skips the 61M-sin pass
+        if save_lay:
+            trig = sd["trig"][:]
+        else:
+            trig = _trig_block(pos6, wd["pe_smat"], wd["pe_phase"])
 
         def bcast(ray_part):
             return jnp.broadcast_to(

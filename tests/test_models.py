@@ -82,3 +82,33 @@ def test_resnet_output_shape_and_stride(rng):
     assert "batch_stats" in updates
     y_eval = net.apply(variables, x, train=False)
     assert y_eval.shape == (1, 48, 64, 8)
+
+
+def test_pointnet_call_split_matches_joint():
+    """call_split over [valid | pred] parts ≡ one joint call on the row
+    concatenation (max is associative; empty-segment 0 is neutral for the
+    post-ReLU features) — the refine trainer relies on this to CSE the
+    iteration-invariant valid stream (models/refine.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from implicit_depth_tpu.models.pointnet import PointNet2Stage
+
+    rng = np.random.default_rng(21)
+    pn = PointNet2Stage(out_channels=16, gf_dim=8)
+    a, b_, nseg = 40, 24, 12
+    inp_a = jnp.asarray(rng.normal(size=(a, 6)).astype(np.float32))
+    inp_b = jnp.asarray(rng.normal(size=(b_, 6)).astype(np.float32))
+    seg_a = jnp.asarray(rng.integers(0, nseg, a), jnp.int32)
+    seg_b = jnp.asarray(rng.integers(0, nseg, b_), jnp.int32)
+    ok_a = jnp.asarray(rng.uniform(size=a) > 0.2)
+    ok_b = jnp.asarray(rng.uniform(size=b_) > 0.5)
+
+    params = pn.init(jax.random.key(0), inp_a, seg_a, nseg, ok_a)
+    joint = pn.apply(params, jnp.concatenate([inp_a, inp_b]),
+                     jnp.concatenate([seg_a, seg_b]), nseg,
+                     jnp.concatenate([ok_a, ok_b]))
+    split = pn.apply(params, [(inp_a, seg_a, ok_a), (inp_b, seg_b, ok_b)],
+                     nseg, method=PointNet2Stage.call_split)
+    np.testing.assert_allclose(np.asarray(split), np.asarray(joint),
+                               atol=1e-6)
