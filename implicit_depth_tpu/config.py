@@ -328,6 +328,11 @@ _SUPPORTED_SELECTORS = {
     # any case and adamw); scheduler has a single supported implementation
     ("training", "scheduler_name"): ("StepLR",),
     ("tpu", "decode_bwd"): ("xla", "kernel", "kernel_save", "kernel_save_all"),
+    # always-on by SPMD construction: BN moments and the hard-neg top-k are
+    # global over the mesh (models/resnet.py, models/lidf.py::hard_neg_mean);
+    # a False here would silently run the same code, so reject it
+    ("tpu", "sync_batchnorm"): (True,),
+    ("loss", "hard_neg_distributed"): (True,),
 }
 
 

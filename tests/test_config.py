@@ -65,7 +65,12 @@ def test_unsupported_selector_raises():
     for key, bad in [({"model": {"scatter_type": "Meanpool"}}, "Meanpool"),
                      ({"model": {"rgb_model_type": "vgg"}}, "vgg"),
                      ({"loss": {"pos_loss_type": "dual"}}, "dual"),
-                     ({"training": {"scheduler_name": "Cosine"}}, "Cosine")]:
+                     ({"training": {"scheduler_name": "Cosine"}}, "Cosine"),
+                     # always-on by SPMD construction; False would silently
+                     # run the same (global) code, so it must be rejected
+                     ({"tpu": {"sync_batchnorm": False}}, "sync_batchnorm"),
+                     ({"loss": {"hard_neg_distributed": False}},
+                      "hard_neg_distributed")]:
         with pytest.raises(NotImplementedError, match=bad):
             load_config(overrides=key)
     # supported values pass
