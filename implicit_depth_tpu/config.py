@@ -341,7 +341,13 @@ def validate_config(cfg: Config) -> Config:
     NotImplementedError paths) rather than silently running something else."""
     for (section, key), allowed in _SUPPORTED_SELECTORS.items():
         val = cfg.get(section, Config({})).get(key)
-        if val is not None and val not in allowed:
+        # None normally means "key absent — use the default", but for the
+        # always-on boolean selectors (allowed == (True,)) a YAML override
+        # like `tpu: {sync_batchnorm: null}` must not bypass the check and
+        # silently run the always-global code path (ADVICE r3).
+        if val is None and allowed != (True,):
+            continue
+        if val not in allowed:
             raise NotImplementedError(
                 f"{section}.{key}={val!r} is not supported (one of {allowed})")
     return cfg

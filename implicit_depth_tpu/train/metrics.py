@@ -82,7 +82,13 @@ def cleargrasp_metrics(pred_depth: np.ndarray,
     g, p = gt[mask], pred[mask]
 
     safe = lambda x: np.clip(x, 1e-6, 1e6)
-    thresh = np.maximum(g / p, p / g)
+    # p may contain exact zeros (untrained / degenerate predictions); g/p
+    # then yields +inf, which fails every δ threshold — the correct side,
+    # and what the reference's torch maximum(gt/pred, pred/gt) computes too
+    # (/root/reference/src/models/pipeline.py:588-591). Silence only this
+    # expected divide so real numeric regressions elsewhere stay visible.
+    with np.errstate(divide="ignore"):
+        thresh = np.maximum(g / p, p / g)
     ln_g, ln_p = np.log(safe(g)), np.log(safe(p))
     return {
         "a1": float((thresh < 1.05).mean()),

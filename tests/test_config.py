@@ -70,6 +70,11 @@ def test_unsupported_selector_raises():
                      # run the same (global) code, so it must be rejected
                      ({"tpu": {"sync_batchnorm": False}}, "sync_batchnorm"),
                      ({"loss": {"hard_neg_distributed": False}},
+                      "hard_neg_distributed"),
+                     # a YAML `null` override must not bypass the always-on
+                     # boolean checks either (ADVICE r3)
+                     ({"tpu": {"sync_batchnorm": None}}, "sync_batchnorm"),
+                     ({"loss": {"hard_neg_distributed": None}},
                       "hard_neg_distributed")]:
         with pytest.raises(NotImplementedError, match=bad):
             load_config(overrides=key)
