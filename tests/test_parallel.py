@@ -228,3 +228,75 @@ def test_batch_sharding_layout(mesh):
     assert sharded.sharding.spec == P("data")
     assert len(sharded.addressable_shards) == 8
     assert sharded.addressable_shards[0].data.shape == (1, 4, 4)
+
+
+def test_refine_train_step_matches_single_device():
+    """Stage-2 (frozen LIDF + RefineNet + GLOBAL hard-neg top-k) on the
+    trainer's (data × rays) mesh must reproduce the unsharded step exactly —
+    the collective-heavy path the reference runs under DDP
+    (/root/reference/src/trainers/train_refine.py:374-399; VERDICT r3 #3)."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from implicit_depth_tpu.config import load_config
+    from implicit_depth_tpu.builder import build_lidf, build_refine
+    from implicit_depth_tpu.data.synthetic import synthetic_batch
+    from implicit_depth_tpu.geometry.voxel import make_voxel_grid
+    from implicit_depth_tpu.models.lidf import LIDFStatic, prepare_inputs
+    from implicit_depth_tpu.train.state import TrainState, make_tx
+    from implicit_depth_tpu.train.steps import make_refine_train_step
+
+    H, W = 48, 64
+    cfg = load_config(overrides={
+        "mask_type": "all", "dataset": {"img_height": H, "img_width": W},
+        "grid": {"miss_sample_num": 128, "valid_sample_num": 128},
+        "model": {"rgb_out": 8, "pnet_out": 16, "pnet_gf": 8, "imnet_gf": 8,
+                  "resnet_stages": (1, 1, 1, 1)},
+        "refine": {"pnet_out": 16, "pnet_gf": 8, "imnet_gf": 8},
+        # the hard-negative recipe: exercises the global top-k under the mesh
+        "loss": {"hard_neg": True, "hard_neg_ratio": 0.1},
+        "tpu": {"max_pairs_per_ray": 8, "compute_dtype": "float32"}})
+    static = LIDFStatic(grid=make_voxel_grid(8), n_valid=128, n_rays=128,
+                        k_pairs=8)
+    lidf = build_lidf(cfg, static)
+    refine = build_refine(cfg, static)
+
+    raw = synthetic_batch(0, 2, H, W)
+    batch = {k: jnp.asarray(v) for k, v in raw.items()}
+    inputs = jax.jit(lambda b, k: prepare_inputs(static, b, k, train=True))(
+        batch, jax.random.key(0))
+    lidf_vars = jax.jit(lambda k, i: lidf.init(
+        k, i, train=False, use_gt_label=True))(jax.random.key(1), inputs)
+    lidf_out = jax.jit(lambda v, i: lidf.apply(
+        v, i, train=False, use_gt_label=True))(lidf_vars, inputs)
+    rvars = jax.jit(lambda k, i, o: refine.init(
+        k, i, o, o["pred_pos"]))(jax.random.key(3), inputs, lidf_out)
+    tx = make_tx(cfg.training, 10)
+
+    def run(step, b, m=None):
+        fresh = jax.tree.map(jnp.array, rvars)
+        state = TrainState.create(fresh["params"], {}, tx)
+        lv = lidf_vars
+        if m is not None:
+            repl = NamedSharding(m, P())
+            put = lambda t: jax.tree.map(
+                lambda x: jax.device_put(x, repl) if isinstance(x, jax.Array)
+                else x, t)
+            state, lv = put(state), put(lv)
+        state, losses = step(state, lv, b, jax.random.key(4), jnp.asarray(0))
+        return state, {k: float(v) for k, v in losses.items()}
+
+    plain = make_refine_train_step(cfg, lidf, refine)
+    state_a, loss_a = run(plain, batch)
+
+    m = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("data", "rays"))
+    sharded_batch = shard_batch(batch, m)
+    stepped = make_refine_train_step(cfg, lidf, refine, mesh=m)
+    state_b, loss_b = run(stepped, sharded_batch, m)
+
+    for k in loss_a:
+        np.testing.assert_allclose(loss_a[k], loss_b[k], rtol=1e-4, atol=1e-6,
+                                   err_msg=k)
+    for a, b in zip(jax.tree.leaves(state_a.params),
+                    jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
