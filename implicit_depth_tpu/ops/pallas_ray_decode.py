@@ -34,6 +34,7 @@ constant-index VMEM output blocks across the sequential grid.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, Tuple
 
 import jax
@@ -43,6 +44,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LEAKY = 0.02
+
+# off|prob layer-1 width pack in the fused FORWARD kernels: one 2·4g-wide
+# layer-1 chain instead of two 4g chains over identical inputs (VERDICT r3
+# #4). Bit-identical output (per-column accumulation unchanged); read at
+# TRACE time. A/B: scripts/bench_decode.py with IDT_DECODE_PACK_L1=0/1.
+PACK_L1 = os.environ.get("IDT_DECODE_PACK_L1", "0") == "1"
 
 
 def _soft_clamp(x):
@@ -214,8 +221,23 @@ def _decode_rows(pair_vox, pos6, ray_e1_off, ray_e1_prob, w, kb,
 
     saves = {"trig": trig}
 
+    if "lv_w1" in w:
+        # off|prob width pack (VERDICT r3 #4): the two decoders' layer-1
+        # part-matmuls run over IDENTICAL inputs — pack their kernels along
+        # the output dim into one 2·4g-wide chain (halves the count of small
+        # matmuls and reads vox/pos6/trig operands once). ray_e1_off here is
+        # the PACKED (rows/kb, 2·4g) per-ray partial (lr_w1); per-column
+        # accumulation order is unchanged, so the slices are bit-identical
+        # to the unpacked path.
+        both = (dot(pair_vox, w["lv_w1"]) + dot(pos6, w["lp6_w1"])
+                + dot(trig, w["ltr_w1"]) + bcast(ray_e1_off) + w["l_b1"])
+        g4 = both.shape[1] // 2
+        e1_off, z1p = both[:, :g4], both[:, g4:]
+    else:
+        e1_off = pair_l1("off") + bcast(ray_e1_off) + w["off_b1"]
+        z1p = pair_l1("prob") + bcast(ray_e1_prob) + w["prob_b1"]
+
     # --- offset decoder (IEF, layer-1 hoisted across iterations) ----------
-    e1_off = pair_l1("off") + bcast(ray_e1_off) + w["off_b1"]
     a_vec = dot(w["off_enc_w"], w["offx_w1"], jnp.float32)       # (1, 4g)
     c_vec = dot(w["off_enc_b"][None, :], w["offx_w1"], jnp.float32)[0]
     offset = jnp.full((rows, 1), init_offset, jnp.float32)
@@ -228,7 +250,6 @@ def _decode_rows(pair_vox, pos6, ray_e1_off, ray_e1_prob, w, kb,
         offset = offset + dot(h3, w["off_w4"], jnp.float32) + w["off_b4"]
 
     # --- termination-probability decoder (IMNet) ---------------------------
-    z1p = pair_l1("prob") + bcast(ray_e1_prob) + w["prob_b1"]
     h = act(z1p).astype(dtype)
     h2p = act(dot(h, w["prob_w2"]) + w["prob_b2"].astype(dtype))
     h3p = act(dot(h2p, w["prob_w3"]) + w["prob_b3"].astype(dtype))
@@ -243,11 +264,15 @@ def _decode_rows(pair_vox, pos6, ray_e1_off, ray_e1_prob, w, kb,
 
 
 def _prep_weights(weights: Dict[str, jnp.ndarray], c_vox: int, c_roi: int,
-                  c_pos: int, c_dir: int, dtype):
+                  c_pos: int, c_dir: int, dtype, pack_l1: bool = False):
     """Reorganize the pipeline weight dict (ops/pallas_decode.py layout) into
     the split pair/ray form this kernel consumes. The pair part is further
     split over the pe layout [enter3 | trigE | leave3 | trigL] into raw-pos6
-    rows and trig rows so the posenc never materializes (``_decode_rows``)."""
+    rows and trig rows so the posenc never materializes (``_decode_rows``).
+
+    ``pack_l1``: additionally pack the off|prob layer-1 kernels along the
+    output dim (lv/lp6/ltr/lr_w1 + l_b1) and drop the unpacked pair keys —
+    the forward then runs one 2·4g-wide layer-1 chain (``_decode_rows``)."""
     offp, offr = split_l1(weights["off_w1"], c_vox, c_roi, c_pos, c_dir)
     # IEF w1 carries 16 extra offset-enc rows at the END of the input dim;
     # keep them separate (offx) — they multiply the encoded running offset.
@@ -281,6 +306,11 @@ def _prep_weights(weights: Dict[str, jnp.ndarray], c_vox: int, c_roi: int,
             w[f"{p}_b{i}"] = weights[f"{p}_b{i}"]
             if i > 1:
                 w[f"{p}_w{i}"] = weights[f"{p}_w{i}"]
+    if pack_l1:
+        for part in ("v", "p6", "tr", "r"):
+            w[f"l{part}_w1"] = jnp.concatenate(
+                [w.pop(f"off{part}_w1"), w.pop(f"prob{part}_w1")], axis=1)
+        w["l_b1"] = jnp.concatenate([w.pop("off_b1"), w.pop("prob_b1")])
     cast = lambda k, a: (jnp.asarray(a, jnp.float32)
                          if k.endswith(("_b1", "_b2", "_b3", "_b4", "enc_b"))
                          or k.startswith("pe_")
@@ -378,7 +408,8 @@ def _fused_fwd_impl(pair_vox, pos, ray_feat, weights, kb, multires, n_iter,
         assert pair_vox.shape[0] == n_rows, (pair_vox.shape, n_rows)
     assert pos.shape == (n_rays, kb * 6), (pos.shape, n_rays, kb)
     c_pos = 6 * (1 + 2 * multires)
-    w = _prep_weights(weights, c_vox, c_ray - 27, c_pos, 27, dtype)
+    w = _prep_weights(weights, c_vox, c_ray - 27, c_pos, 27, dtype,
+                      pack_l1=PACK_L1)
 
     t = rays_per_tile
     pad_rays = 0 if per_image else (-n_rays) % t
@@ -423,8 +454,12 @@ def _fused_fwd_impl(pair_vox, pos, ray_feat, weights, kb, multires, n_iter,
         else:
             pair_vox_t = vox_ref[:].astype(dtype)
         ray_rows = ray_ref[:]
-        ray_e1_off = dot(ray_rows, wd["offr_w1"])
-        ray_e1_prob = dot(ray_rows, wd["probr_w1"])
+        if "lr_w1" in wd:  # packed: ONE (c_ray, 2·4g) per-ray partial
+            ray_e1_off = dot(ray_rows, wd["lr_w1"])
+            ray_e1_prob = None
+        else:
+            ray_e1_off = dot(ray_rows, wd["offr_w1"])
+            ray_e1_prob = dot(ray_rows, wd["probr_w1"])
         pos6 = jnp.concatenate(_sel_cols(pos_ref[:], t, kb, 6, range(6)), -1)
         out = _decode_rows(pair_vox_t, pos6, ray_e1_off,
                            ray_e1_prob, wd, kb, n_iter=n_iter,
