@@ -146,6 +146,9 @@ _DEFAULTS: Dict[str, Any] = {
     "log_name": None,
     "custom_postfix": "",
     "checkpoint_path": None,
+    # which snapshot to load from checkpoint_path (same choices as
+    # lidf_ckpt_name) — e.g. best_network for the test workflow
+    "checkpoint_name": "latest_network",
     "lidf_ckpt_path": None,
     # which snapshot to load from lidf_ckpt_path for frozen stage 1
     # ('latest_network' | 'best_network' | 'epochNNN_network')

@@ -347,7 +347,8 @@ class LIDFTrainer(BaseTrainer):
             # load initial weights from an external run (≙ train_lidf.py:73-92)
             params, bstats = restore_params_only(
                 cfg.checkpoint_path,
-                {"params": self.state.params, "batch_stats": self.state.batch_stats})
+                {"params": self.state.params, "batch_stats": self.state.batch_stats},
+                name=cfg.get("checkpoint_name", "latest_network"))
             self.state = self.state.replace(params=params, batch_stats=bstats)
             print(f"loaded weights from {cfg.checkpoint_path}")
 
@@ -537,7 +538,8 @@ class RefineTrainer(BaseTrainer):
         elif cfg.checkpoint_path:
             params, _ = restore_params_only(
                 cfg.checkpoint_path, {"params": self.state.params,
-                                      "batch_stats": {}})
+                                      "batch_stats": {}},
+                name=cfg.get("checkpoint_name", "latest_network"))
             self.state = self.state.replace(params=params)
             print(f"loaded refine weights from {cfg.checkpoint_path}")
 
