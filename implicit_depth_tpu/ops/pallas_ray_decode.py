@@ -947,7 +947,8 @@ def _fused_bwd_impl(pair_vox, pos, ray_feat, weights, g_off, g_logit,
     c_pos = 6 * (1 + 2 * multires)
     c_roi, c_dir = c_ray - 27, 27
     cp = c_vox + c_pos
-    w = _prep_weights(weights, c_vox, c_roi, c_pos, c_dir, dtype)
+    w = _prep_weights(weights, c_vox, c_roi, c_pos, c_dir, dtype,
+                      pack_l1=PACK_L1)
     g = weights["off_w1"].shape[1]
     g2, g3 = weights["off_w2"].shape[1], weights["off_w3"].shape[1]
 
@@ -1060,6 +1061,12 @@ def _fused_bwd_impl(pair_vox, pos, ray_feat, weights, g_off, g_logit,
             # recompute FLOPs); the parts are still needed for weight grads
             e1_off = sd["e1"][:].astype(jnp.float32)
             z1p = sd["z1p"][:].astype(jnp.float32)
+        elif "lv_w1" in wd:
+            # packed recompute (PACK_L1): one 2·4g-wide layer-1 chain
+            both = (dot(pair_vox_t, wd["lv_w1"]) + dot(pos6, wd["lp6_w1"])
+                    + dot(trig, wd["ltr_w1"])
+                    + bcast(dot(ray_rows, wd["lr_w1"])) + wd["l_b1"])
+            e1_off, z1p = both[:, :g], both[:, g:]
         else:
             ray_e1_off = dot(ray_rows, wd["offr_w1"])
             ray_e1_prob = dot(ray_rows, wd["probr_w1"])
@@ -1140,19 +1147,37 @@ def _fused_bwd_impl(pair_vox, pos, ray_feat, weights, g_off, g_logit,
         d_h1p = dot_nt(d_t2p, wd["prob_w2"])
         d_z1p = dlrelu(h1p, d_h1p)
 
-        for pre, d_e1 in (("off", d_e1_off), ("prob", d_z1p)):
-            add(f"{pre}v", dot_tn(pair_vox_t, d_e1))
-            add(f"{pre}p6", dot_tn(pos6, d_e1))
-            add(f"{pre}tr", dot_tn(trig, d_e1))
-        add("offb1", csum(d_e1_off))
-        add("probb1", csum(d_z1p))
-        d_re_off = jnp.sum(d_e1_off.reshape(t, kb, g), axis=1)   # (t, g)
-        d_re_prob = jnp.sum(d_z1p.reshape(t, kb, g), axis=1)
-        add("offr", dot_tn(ray_rows, d_re_off))
-        add("probr", dot_tn(ray_rows, d_re_prob))
+        if "lv_w1" in wd:
+            # packed layer-1 grads (PACK_L1): d_both (rows, 2·4g) against
+            # each shared operand ONCE; accumulators keep the per-part
+            # layout (lane slices at 4g are free)
+            d_both = jnp.concatenate([d_e1_off, d_z1p], axis=-1)
+            for part, opnd in (("v", pair_vox_t), ("p6", pos6), ("tr", trig)):
+                pk = dot_tn(opnd, d_both)
+                add(f"off{part}", pk[:, :g])
+                add(f"prob{part}", pk[:, g:])
+            add("offb1", csum(d_e1_off))
+            add("probb1", csum(d_z1p))
+            d_re_both = jnp.sum(d_both.reshape(t, kb, 2 * g), axis=1)
+            rk = dot_tn(ray_rows, d_re_both)
+            add("offr", rk[:, :g])
+            add("probr", rk[:, g:])
+            d_rows = dot_nt(d_both, wd["lv_w1"])
+        else:
+            for pre, d_e1 in (("off", d_e1_off), ("prob", d_z1p)):
+                add(f"{pre}v", dot_tn(pair_vox_t, d_e1))
+                add(f"{pre}p6", dot_tn(pos6, d_e1))
+                add(f"{pre}tr", dot_tn(trig, d_e1))
+            add("offb1", csum(d_e1_off))
+            add("probb1", csum(d_z1p))
+            d_re_off = jnp.sum(d_e1_off.reshape(t, kb, g), axis=1)   # (t, g)
+            d_re_prob = jnp.sum(d_z1p.reshape(t, kb, g), axis=1)
+            add("offr", dot_tn(ray_rows, d_re_off))
+            add("probr", dot_tn(ray_rows, d_re_prob))
 
-        d_rows = (dot_nt(d_e1_off, wd["offv_w1"])
-                  + dot_nt(d_z1p, wd["probv_w1"]))
+        d_rows = d_rows if "lv_w1" in wd else (
+            dot_nt(d_e1_off, wd["offv_w1"])
+            + dot_nt(d_z1p, wd["probv_w1"]))
         if per_image:
             # d_table block for THIS image: onehotᵀ @ d_rows, accumulated in
             # VMEM across the image's tiles (block index i // tpi is
@@ -1166,8 +1191,11 @@ def _fused_bwd_impl(pair_vox, pos, ray_feat, weights, g_off, g_logit,
             dvox_ref[...] += dot_tn(onehot, d_rows)
         else:
             dvox_ref[:] = d_rows
-        dray_ref[:] = (dot_nt(d_re_off, wd["offr_w1"])
-                       + dot_nt(d_re_prob, wd["probr_w1"]))
+        if "lr_w1" in wd:
+            dray_ref[:] = dot_nt(d_re_both, wd["lr_w1"])
+        else:
+            dray_ref[:] = (dot_nt(d_re_off, wd["offr_w1"])
+                           + dot_nt(d_re_prob, wd["probr_w1"]))
 
         first = pl.program_id(0) == 0
         for name, _ in acc_shapes:
