@@ -108,3 +108,36 @@ def test_lidf_valid_sample_num_all(tmp_path):
     assert tr.static.n_valid == 48 * 64
     means = tr.train_epoch(0)
     assert np.isfinite(means["loss_net"])
+
+
+@pytest.mark.slow
+def test_checkpoint_name_loads_best_network(tmp_path):
+    """exp_type-test workflow: checkpoint_path + checkpoint_name=best_network
+    must load the BEST refine snapshot (round-4 runner relies on this)."""
+    from implicit_depth_tpu.train.trainer import RefineTrainer
+
+    cfg = smoke_cfg(tmp_path)
+    cfg.trainer_name = "refine"
+    cfg.base_log_dir = str(tmp_path / "logs_refine")
+    tr = RefineTrainer(cfg)
+    tr.run()
+    import os.path as osp
+    assert osp.isdir(osp.join(tr.ckpt_dir, "best_network"))
+
+    # after 1 epoch best == latest; overwrite best_network with a perturbed
+    # copy so loading the wrong snapshot would be detectable
+    import jax
+    pert = jax.tree.map(
+        lambda x: x + 1.0 if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        tr.state.params)
+    tr.ckpt.save_as(tr.state.replace(params=pert), 0, "best_network",
+                    meta={"epoch": 0})
+
+    cfg2 = smoke_cfg(tmp_path)
+    cfg2.trainer_name = "refine"
+    cfg2.base_log_dir = str(tmp_path / "logs_refine_test")
+    cfg2.checkpoint_path = tr.ckpt_dir
+    cfg2.checkpoint_name = "best_network"
+    tr2 = RefineTrainer(cfg2)
+    for a, b in zip(jax.tree.leaves(pert), jax.tree.leaves(tr2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
