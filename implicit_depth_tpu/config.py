@@ -256,6 +256,9 @@ _DEFAULTS: Dict[str, Any] = {
         "worker_type": "thread",   # 'process' for full-res datasets (GIL)
         "do_valid": True,
         "valid_start_epo": 0,
+        # validate every Nth epoch (reference: every epoch); the final epoch
+        # always validates so best-metric tracking sees the final state
+        "valid_interval": 1,
         "optimizer_name": "Adam",
         "scheduler_name": "StepLR",
     },

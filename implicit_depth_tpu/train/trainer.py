@@ -135,6 +135,19 @@ class BaseTrainer:
                 self.ckpt.save_as(self.state, epoch, "best_network", meta=meta)
         self.log_epoch(epoch, {**record, "best": dict(self.best)})
 
+    def _should_validate(self, epoch: int) -> bool:
+        """Reference: validate every epoch (train_lidf.py:292-315);
+        ``training.valid_interval=N`` thins that to every Nth epoch past
+        ``valid_start_epo`` (the last epoch always validates so best-metric
+        tracking sees the final state) — useful when the valid pass rivals
+        the train epoch at pod scale."""
+        t = self.cfg.training
+        if not t.do_valid or epoch < t.valid_start_epo:
+            return False
+        interval = int(t.get("valid_interval", 1) or 1)
+        return (epoch == t.nepochs - 1
+                or (epoch - t.valid_start_epo) % interval == 0)
+
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
         return sub
@@ -484,7 +497,7 @@ class LIDFTrainer(BaseTrainer):
         for epoch in range(self.start_epoch, cfg.training.nepochs):
             train_means = self.train_epoch(epoch)
             record = {"train": train_means}
-            if cfg.training.do_valid and epoch >= cfg.training.valid_start_epo:
+            if self._should_validate(epoch):
                 record["valid"] = self.validate(epoch)
             self._save_epoch(epoch, record)
 
@@ -669,7 +682,7 @@ class RefineTrainer(BaseTrainer):
         for epoch in range(self.start_epoch, cfg.training.nepochs):
             train_means = self.train_epoch(epoch)
             record = {"train": train_means}
-            if cfg.training.do_valid and epoch >= cfg.training.valid_start_epo:
+            if self._should_validate(epoch):
                 record["valid"] = self.validate(epoch)
             self._save_epoch(epoch, record)
 

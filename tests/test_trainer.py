@@ -141,3 +141,18 @@ def test_checkpoint_name_loads_best_network(tmp_path):
     tr2 = RefineTrainer(cfg2)
     for a, b in zip(jax.tree.leaves(pert), jax.tree.leaves(tr2.state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_should_validate_interval(tmp_path):
+    """training.valid_interval thins validation to every Nth epoch; the last
+    epoch always validates."""
+    cfg = smoke_cfg(tmp_path, nepochs=7)
+    cfg.training.do_valid = True
+    cfg.training.valid_interval = 3
+    tr = LIDFTrainer.__new__(LIDFTrainer)  # no heavy setup needed
+    tr.cfg = cfg
+    assert [e for e in range(7) if tr._should_validate(e)] == [0, 3, 6]
+    cfg.training.valid_start_epo = 2
+    assert [e for e in range(7) if tr._should_validate(e)] == [2, 5, 6]
+    cfg.training.do_valid = False
+    assert [e for e in range(7) if tr._should_validate(e)] == []
