@@ -47,8 +47,16 @@ def stage_times(reset: bool = True) -> Dict[str, float]:
 
 def device_slope_time(fn_of_key: Callable[..., jnp.ndarray],
                       key: jax.Array, *args,
-                      iters_a: int = 2, iters_b: int = 12) -> float:
+                      iters_a: int = 2, iters_b: int = 12,
+                      reps: int = 3) -> float:
     """Seconds per invocation of ``fn_of_key(key, *args)`` (scalar return).
+
+    Interleaved repeated slope (round 4 — same hardening as bench.py): the
+    short and long loops alternate for ``reps`` pairs after a compile + one
+    throwaway warm rep each, and the MEDIAN pair difference is used — a
+    single (short, long) pair is vulnerable to the first-measured-phase
+    inflation that produced BENCH_r03's negative throughput. A non-positive
+    median falls back to the long loop's per-iter mean (conservative).
 
     Pass large arrays through ``*args`` rather than closing over them —
     closed-over arrays become jit CONSTANTS, which this image ships to the
@@ -63,14 +71,25 @@ def device_slope_time(fn_of_key: Callable[..., jnp.ndarray],
             return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
         return run
 
-    times = {}
-    for iters in (iters_a, iters_b):
-        run = make(iters)
-        float(run(key, *args))  # compile + warm
+    runs = {iters: make(iters) for iters in (iters_a, iters_b)}
+    for run in runs.values():
+        float(run(key, *args))  # compile
+        float(run(key, *args))  # throwaway warm rep
+    diffs = []
+    for _ in range(max(reps, 1)):
+        ts = {}
+        for iters, run in runs.items():
+            t0 = time.perf_counter()
+            float(run(key, *args))
+            ts[iters] = time.perf_counter() - t0
+        diffs.append(ts[iters_b] - ts[iters_a])
+    diffs.sort()
+    slope = diffs[len(diffs) // 2] / (iters_b - iters_a)
+    if slope <= 0:
         t0 = time.perf_counter()
-        float(run(key, *args))
-        times[iters] = time.perf_counter() - t0
-    return (times[iters_b] - times[iters_a]) / (iters_b - iters_a)
+        float(runs[iters_b](key, *args))
+        slope = (time.perf_counter() - t0) / iters_b
+    return slope
 
 
 @contextlib.contextmanager
