@@ -48,7 +48,7 @@ LEAKY = 0.02
 # off|prob layer-1 width pack in the fused FORWARD kernels: one 2·4g-wide
 # layer-1 chain instead of two 4g chains over identical inputs (VERDICT r3
 # #4). Bit-identical output (per-column accumulation unchanged); read at
-# TRACE time. A/B: scripts/bench_decode.py with IDT_DECODE_PACK_L1=0/1.
+# TRACE time. A/B: scripts/bench_pack_ab.sh (IDT_DECODE_PACK_L1=0/1).
 PACK_L1 = os.environ.get("IDT_DECODE_PACK_L1", "0") == "1"
 
 
