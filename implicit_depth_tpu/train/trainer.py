@@ -148,6 +148,29 @@ class BaseTrainer:
         return (epoch == t.nepochs - 1
                 or (epoch - t.valid_start_epo) % interval == 0)
 
+    def _maybe_recycle(self, epoch: int) -> None:
+        """Host-RSS recycle guard (``tpu.host_rss_exit_gb``): this image's
+        remote-TPU PJRT plugin retains every device_put payload host-side
+        (~12 MB/step at production shapes, measured scripts/probe_put_leak.py
+        round 4) — a 60-epoch run OOMs near 10k steps. When current RSS
+        crosses the limit, exit(82) right after the epoch checkpoint; an
+        outer retry loop (scripts/run_disk_r4b.sh) restarts with
+        resume=latest_network and the run continues where it left off.
+        Default 0 = disabled (real PCIe-attached hosts don't leak)."""
+        limit_gb = float(self.cfg.tpu.get("host_rss_exit_gb", 0) or 0)
+        if not limit_gb:
+            return
+        try:
+            with open("/proc/self/statm") as f:
+                rss_gb = int(f.read().split()[1]) * os.sysconf("SC_PAGE_SIZE") / 1e9
+        except (OSError, ValueError):
+            return
+        if rss_gb > limit_gb:
+            print(f"[recycle] host RSS {rss_gb:.1f} GB > {limit_gb:.0f} GB "
+                  f"after epoch {epoch} — exiting for a clean resume",
+                  flush=True)
+            raise SystemExit(82)
+
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
         return sub
@@ -500,6 +523,7 @@ class LIDFTrainer(BaseTrainer):
             if self._should_validate(epoch):
                 record["valid"] = self.validate(epoch)
             self._save_epoch(epoch, record)
+            self._maybe_recycle(epoch)
 
 
 class RefineTrainer(BaseTrainer):
@@ -685,6 +709,7 @@ class RefineTrainer(BaseTrainer):
             if self._should_validate(epoch):
                 record["valid"] = self.validate(epoch)
             self._save_epoch(epoch, record)
+            self._maybe_recycle(epoch)
 
 
 TRAINERS = {"lidf": LIDFTrainer, "refine": RefineTrainer}

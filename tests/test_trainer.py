@@ -156,3 +156,19 @@ def test_should_validate_interval(tmp_path):
     assert [e for e in range(7) if tr._should_validate(e)] == [2, 5, 6]
     cfg.training.do_valid = False
     assert [e for e in range(7) if tr._should_validate(e)] == []
+
+
+def test_host_rss_recycle_guard(tmp_path):
+    """tpu.host_rss_exit_gb: above the limit the trainer raises
+    SystemExit(82) (clean resume point); 0 disables."""
+    cfg = smoke_cfg(tmp_path)
+    tr = LIDFTrainer.__new__(LIDFTrainer)
+    tr.cfg = cfg
+    cfg.tpu.host_rss_exit_gb = 0
+    tr._maybe_recycle(0)  # disabled: no-op
+    cfg.tpu.host_rss_exit_gb = 10000  # far above any real RSS
+    tr._maybe_recycle(0)
+    cfg.tpu.host_rss_exit_gb = 0.001  # below current RSS
+    with pytest.raises(SystemExit) as e:
+        tr._maybe_recycle(0)
+    assert e.value.code == 82
