@@ -32,6 +32,9 @@ def main():
     })
     static = build_static(cfg)
     model = build_lidf(cfg, static)
+    # full tpu.use_pallas_decode=off LIDF (VERDICT r3 #8: re-validate the
+    # two-stage serving default with BOTH stages' decode flipped)
+    model_x = dataclasses.replace(model, use_pallas_decode=False)
     refine_k = build_refine(cfg, static)            # fused kernel (default)
     refine_x = dataclasses.replace(refine_k, use_pallas_decode=False)
     variants = {"kernel": refine_k, "xla": refine_x}
@@ -59,10 +62,10 @@ def main():
 
     fwd_times = int(cfg.refine.forward_times)
 
-    def two_stage(mdl):
+    def two_stage(mdl, lidf_mdl):
         def fn(k, v, rv, b):
             inp = prepare_inputs(static, b, k, train=True)
-            lout = model.apply(v, inp, train=False, use_gt_label=False)
+            lout = lidf_mdl.apply(v, inp, train=False, use_gt_label=False)
             pred = lout["pred_pos"]
             for _ in range(fwd_times):
                 pred = mdl.apply(rv, inp, lout, pred)
@@ -74,9 +77,14 @@ def main():
             ms = device_slope_time(refine_iter(mdl), key, rvars, inputs,
                                    lidf_out) * 1e3
             print(f"rep{rep} refine-iter {name:12s} {ms:8.2f} ms", flush=True)
+    # two-stage: refine decode flip (stage-1 kernel on), then the FULL
+    # use_pallas_decode=off path (both stages XLA)
+    ts_variants = {"kernel": (variants["kernel"], model),
+                   "xla_refine": (variants["xla"], model),
+                   "xla_both": (variants["xla"], model_x)}
     for rep in range(2):
-        for name in ("kernel", "xla"):
-            ms = device_slope_time(two_stage(variants[name]), key, variables,
+        for name, (rmdl, lmdl) in ts_variants.items():
+            ms = device_slope_time(two_stage(rmdl, lmdl), key, variables,
                                    rvars, batch) * 1e3
             rps = BS * static.n_rays / (ms / 1e3)
             print(f"rep{rep} two-stage  {name:12s} {ms:8.2f} ms "
