@@ -45,11 +45,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 LEAKY = 0.02
 
-# off|prob layer-1 width pack in the fused FORWARD kernels: one 2·4g-wide
-# layer-1 chain instead of two 4g chains over identical inputs (VERDICT r3
-# #4). Bit-identical output (per-column accumulation unchanged); read at
-# TRACE time. A/B: scripts/bench_pack_ab.sh (IDT_DECODE_PACK_L1=0/1).
-PACK_L1 = os.environ.get("IDT_DECODE_PACK_L1", "0") == "1"
+# off|prob layer-1 width pack: one 2·4g-wide layer-1 chain instead of two
+# 4g chains over identical inputs (VERDICT r3 #4). Bit-identical output
+# (per-column accumulation unchanged). Interleaved A/B
+# (scripts/bench_pack_ab.sh, 3 reps, BASELINE.md round 4): serving fwd
+# 12.81 vs 12.95 ms median (packed faster 3/3 reps, ~1%); TRUE-serial
+# train step 38.58 vs 38.27 ms (wash, spreads overlap). Defaults follow
+# the measurement: packed for the SERVING forward (save_mode None),
+# unpacked for the training fwd+bwd. IDT_DECODE_PACK_L1=0/1 forces BOTH
+# paths for A/Bs; read at TRACE time.
+_PACK_ENV = os.environ.get("IDT_DECODE_PACK_L1")
+PACK_L1_SERVE = _PACK_ENV == "1" if _PACK_ENV is not None else True
+PACK_L1_TRAIN = _PACK_ENV == "1" if _PACK_ENV is not None else False
 
 
 def _soft_clamp(x):
@@ -408,8 +415,11 @@ def _fused_fwd_impl(pair_vox, pos, ray_feat, weights, kb, multires, n_iter,
         assert pair_vox.shape[0] == n_rows, (pair_vox.shape, n_rows)
     assert pos.shape == (n_rays, kb * 6), (pos.shape, n_rays, kb)
     c_pos = 6 * (1 + 2 * multires)
+    # save_mode None = serving forward (the custom-VJP fwd rule passes a
+    # save mode for training) — pack there; training follows PACK_L1_TRAIN
     w = _prep_weights(weights, c_vox, c_ray - 27, c_pos, 27, dtype,
-                      pack_l1=PACK_L1)
+                      pack_l1=(PACK_L1_SERVE if save_mode is None
+                               else PACK_L1_TRAIN))
 
     t = rays_per_tile
     pad_rays = 0 if per_image else (-n_rays) % t
@@ -948,7 +958,7 @@ def _fused_bwd_impl(pair_vox, pos, ray_feat, weights, g_off, g_logit,
     c_roi, c_dir = c_ray - 27, 27
     cp = c_vox + c_pos
     w = _prep_weights(weights, c_vox, c_roi, c_pos, c_dir, dtype,
-                      pack_l1=PACK_L1)
+                      pack_l1=PACK_L1_TRAIN)
     g = weights["off_w1"].shape[1]
     g2, g3 = weights["off_w2"].shape[1], weights["off_w3"].shape[1]
 
