@@ -482,3 +482,38 @@ def test_refine_model_fused_nondefault_multires_views():
         v, i, o, o["pred_pos"]))(rvars, inp, lout)
     np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_a),
                                atol=2e-5)
+
+
+def test_packed_l1_weights_match_unpacked(data):
+    """The off|prob layer-1 width pack must be (near-)bit-identical to the
+    unpacked path, independent of the IDT_DECODE_PACK_L1 env state: drive
+    _decode_rows directly with both weight preparations (f32 so the only
+    permitted difference is matmul tiling)."""
+    from implicit_depth_tpu.ops.pallas_ray_decode import (
+        _decode_rows, _prep_weights)
+
+    pair_vox, pos, ray_feat, w = data
+    c_pos = 102
+    multires = (c_pos // 6 - 1) // 2
+    dt = jnp.float32
+
+    def run(pack):
+        wp = _prep_weights(w, CV, ray_feat.shape[1] - 27, c_pos, 27, dt,
+                           pack_l1=pack)
+        dot = lambda a, b: a @ b
+        if pack:
+            ray_e1 = dot(ray_feat, wp["lr_w1"])
+            ray_prob = None
+        else:
+            ray_e1 = dot(ray_feat, wp["offr_w1"])
+            ray_prob = dot(ray_feat, wp["probr_w1"])
+        return _decode_rows(pair_vox.astype(dt), pos.astype(jnp.float32),
+                            ray_e1, ray_prob, wp, KB, n_iter=2,
+                            init_offset=0.001, use_sigmoid=False, dtype=dt)
+
+    off_u, logit_u = jax.jit(lambda: run(False))()
+    off_p, logit_p = jax.jit(lambda: run(True))()
+    np.testing.assert_allclose(np.asarray(off_p), np.asarray(off_u),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(logit_p), np.asarray(logit_u),
+                               rtol=1e-5, atol=1e-5)
