@@ -9,7 +9,6 @@ ONE JSON line. The reference publishes no throughput numbers
 
 import json
 import os
-import time
 
 import jax
 
@@ -33,42 +32,14 @@ NOMINAL_RAYS_PER_SEC = 1_000_000.0
 
 
 def _slope(run_a, run_b, iters_a, iters_b, reps=3, retries=1):
-    """Interleaved repeated slope: run the short and long loops alternately
-    (A B A B …, ``reps`` pairs), take the MEDIAN pair difference, and require
-    a positive slope (retrying once). The (iters_b - iters_a) difference
-    cancels the constant dispatch + relay-RTT overhead; the interleaving +
-    median defend against the first-measured-phase inflation pathology that
-    made BENCH_r03's two-stage number negative (see CLAUDE.md "Benching
-    discipline" / VERDICT r3 weak-1). ``run_*`` are zero-arg callables that
-    execute the jitted loop and block on the result."""
-    # compile + one throwaway warm rep per loop (first-phase guard)
-    for run in (run_a, run_b):
-        run()
-        run()
-    slope = None
-    for _attempt in range(retries + 1):
-        diffs = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            run_a()
-            ta = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            run_b()
-            tb = time.perf_counter() - t0
-            diffs.append(tb - ta)
-        slope = float(np.median(diffs)) / (iters_b - iters_a)
-        if slope > 0:
-            return slope
-        print(f"# non-positive slope {slope:.6f}s/iter — retrying",
-              flush=True)
-    # still non-positive after retry: fall back to the long loop's per-iter
-    # mean (includes dispatch overhead → conservative lower throughput bound)
-    t0 = time.perf_counter()
-    run_b()
-    fallback = (time.perf_counter() - t0) / iters_b
-    print(f"# slope stayed non-positive; using conservative per-iter mean "
-          f"{fallback:.6f}s", flush=True)
-    return fallback
+    """Interleaved-median slope with positive-slope retry + conservative
+    fallback — delegates to the shared core (utils/profiling.py;
+    hardening rationale: CLAUDE.md "Benching discipline" / VERDICT r3
+    weak-1, BENCH_r03's negative two-stage number). ``run_*`` are zero-arg
+    callables that execute the jitted loop and block on the result."""
+    from implicit_depth_tpu.utils.profiling import interleaved_slope
+    return interleaved_slope(run_a, run_b, iters_a, iters_b,
+                             reps=reps, retries=retries, verbose=True)
 
 
 def _timed_loop(fn, *args, iters_a=3, iters_b=13):

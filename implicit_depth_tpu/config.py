@@ -293,6 +293,12 @@ _DEFAULTS: Dict[str, Any] = {
         "decode_train_rays_per_tile": 384,  # table-mode training tile (re-swept after the planar-loss/bf16-feat changes: 128->50.5, 192->48.9, 256->48.8, 384->48.3, 512->50.3 ms serial)
         "decode_serve_table": False,  # serving voxel lookup in-kernel
                                       # (one-hot vs pre-gathered rows; A/B'd)
+        "host_rss_exit_gb": 0,  # >0: trainer exits 82 after the epoch ckpt
+                                # once host RSS crosses the limit — recycle
+                                # guard for this image's remote-plugin
+                                # device_put leak (scripts/probe_put_leak.py);
+                                # pair with an outer resume retry loop
+                                # (scripts/run_disk_r4b.sh). 0 = off.
         "refine_decode_rows_per_tile": 2000,  # stage-2 fused IEF decode tile
                                               # (divides R=20k: no pad pass;
                                               # 512/1024/2048 all within noise)

@@ -51,9 +51,10 @@ LEAKY = 0.02
 # (scripts/bench_pack_ab.sh, 3 reps, BASELINE.md round 4): serving fwd
 # 12.81 vs 12.95 ms median (packed faster 3/3 reps, ~1%); TRUE-serial
 # train step 38.58 vs 38.27 ms (wash, spreads overlap). Defaults follow
-# the measurement: packed for the SERVING forward (save_mode None),
-# unpacked for the training fwd+bwd. IDT_DECODE_PACK_L1=0/1 forces BOTH
-# paths for A/Bs; read at TRACE time.
+# the measurement: packed for the SERVING forward (custom-VJP fwd rules
+# flag train=True), unpacked for the training fwd+bwd.
+# IDT_DECODE_PACK_L1=0/1 forces BOTH paths for A/Bs; read ONCE at module
+# import — set it before importing jax/this package.
 _PACK_ENV = os.environ.get("IDT_DECODE_PACK_L1")
 PACK_L1_SERVE = _PACK_ENV == "1" if _PACK_ENV is not None else True
 PACK_L1_TRAIN = _PACK_ENV == "1" if _PACK_ENV is not None else False
@@ -380,7 +381,7 @@ def _pos_rows(pos_rk, kb):
 def _fused_fwd_impl(pair_vox, pos, ray_feat, weights, kb, multires, n_iter,
                     init_offset, use_sigmoid, dtype, rays_per_tile, interpret,
                     *, cell_ids=None, vox_table=None, tiles_per_image=None,
-                    save_mode=None):
+                    save_mode=None, train=False):
     """``pair_vox`` holds gathered (N·kb, Cv) rows — OR pass
     ``cell_ids`` (N, kb) ray-major local ids + ``vox_table`` (n_cells, Cv)
     and the lookup happens IN-kernel as a one-hot MXU matmul per tile
@@ -415,11 +416,12 @@ def _fused_fwd_impl(pair_vox, pos, ray_feat, weights, kb, multires, n_iter,
         assert pair_vox.shape[0] == n_rows, (pair_vox.shape, n_rows)
     assert pos.shape == (n_rays, kb * 6), (pos.shape, n_rays, kb)
     c_pos = 6 * (1 + 2 * multires)
-    # save_mode None = serving forward (the custom-VJP fwd rule passes a
-    # save mode for training) — pack there; training follows PACK_L1_TRAIN
+    # ``train`` is set by every custom-VJP forward rule (with or without a
+    # save mode — decode_bwd='kernel' trains save-free); serving calls the
+    # primals directly. Packing follows the measured defaults per path.
     w = _prep_weights(weights, c_vox, c_ray - 27, c_pos, 27, dtype,
-                      pack_l1=(PACK_L1_SERVE if save_mode is None
-                               else PACK_L1_TRAIN))
+                      pack_l1=(PACK_L1_TRAIN if (train or save_mode)
+                               else PACK_L1_SERVE))
 
     t = rays_per_tile
     pad_rays = 0 if per_image else (-n_rays) % t
@@ -572,9 +574,11 @@ def fused_ray_decode_onehot(cell_ids, pos, ray_feat_and_table, weights,
 def _onehot_fwd(cell_ids, pos, ray_feat_and_table, weights, kb, multires,
                 n_iter, init_offset, use_sigmoid, dtype, rays_per_tile,
                 interpret):
-    out = fused_ray_decode_onehot(cell_ids, pos, ray_feat_and_table, weights,
-                                  kb, multires, n_iter, init_offset,
-                                  use_sigmoid, dtype, rays_per_tile, interpret)
+    ray_feat, vox_table = ray_feat_and_table
+    out = _fused_fwd_impl(None, pos, ray_feat, weights, kb, multires,
+                          n_iter, init_offset, use_sigmoid, dtype,
+                          rays_per_tile, interpret,
+                          cell_ids=cell_ids, vox_table=vox_table, train=True)
     return out, (cell_ids, pos, ray_feat_and_table, weights)
 
 
@@ -607,7 +611,7 @@ def _fused_fwd(pair_vox, pos, ray_feat, weights, kb, multires, n_iter,
                bwd_impl):
     out = _fused_fwd_impl(pair_vox, pos, ray_feat, weights, kb, multires,
                           n_iter, init_offset, use_sigmoid, dtype,
-                          rays_per_tile, interpret)
+                          rays_per_tile, interpret, train=True)
     return out, (pair_vox, pos, ray_feat, weights)
 
 
@@ -690,10 +694,13 @@ def _table_fwd(cells, pos, ray_feat, vox_table, weights, kb, tiles_per_image,
             save_mode="l1" if bwd_impl == "kernel_save" else "all")
         return (off, logit), (cells, pos, ray_feat, vox_table, weights,
                               saves)
-    out = fused_ray_decode_table(cells, pos, ray_feat, vox_table, weights,
-                                 kb, tiles_per_image, multires, n_iter,
-                                 init_offset, use_sigmoid, dtype,
-                                 rays_per_tile, interpret, bwd_impl)
+    # save-free training forward ('kernel'/'xla' bwd): same math as the
+    # primal but flagged train=True so packing follows the training default
+    out = _fused_fwd_impl(None, pos, ray_feat, weights, kb, multires,
+                          n_iter, init_offset, use_sigmoid, dtype,
+                          rays_per_tile, interpret, cell_ids=cells,
+                          vox_table=vox_table,
+                          tiles_per_image=tiles_per_image, train=True)
     return out, (cells, pos, ray_feat, vox_table, weights, None)
 
 

@@ -83,9 +83,12 @@ def cleargrasp_metrics(pred_depth: np.ndarray,
 
     safe = lambda x: np.clip(x, 1e-6, 1e6)
     # p may contain exact zeros (untrained / degenerate predictions); g/p
-    # then yields +inf, which fails every δ threshold — the correct side,
-    # and what the reference's torch maximum(gt/pred, pred/gt) computes too
-    # (/root/reference/src/models/pipeline.py:588-591). Silence only this
+    # then yields +inf, which fails every δ threshold. A strictly NEGATIVE p
+    # would instead make both ratios negative and PASS the thresholds — the
+    # reference's torch maximum(gt/pred, pred/gt) has the identical behavior
+    # (/root/reference/src/models/pipeline.py:588-591) and our predictions
+    # are points along camera rays inside the z∈[0,2] frustum grid, so
+    # negative depth is not reachable from the decode path. Silence only the
     # expected divide so real numeric regressions elsewhere stay visible.
     with np.errstate(divide="ignore"):
         thresh = np.maximum(g / p, p / g)

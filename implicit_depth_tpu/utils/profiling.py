@@ -45,18 +45,57 @@ def stage_times(reset: bool = True) -> Dict[str, float]:
     return out
 
 
+def interleaved_slope(run_a: Callable[[], None], run_b: Callable[[], None],
+                      iters_a: int, iters_b: int,
+                      reps: int = 3, retries: int = 1,
+                      verbose: bool = False) -> float:
+    """Seconds/iteration from two zero-arg loop runnables (``run_a`` executes
+    ``iters_a`` iterations and blocks; ``run_b`` likewise) — THE shared slope
+    core (bench.py, device_slope_time, scripts/bench_refine_train.py).
+
+    Interleaved repeated slope (round-4 hardening): compile + one throwaway
+    warm rep per loop, then alternate A B A B for ``reps`` pairs and take the
+    MEDIAN pair difference — a single (short, long) pair is vulnerable to the
+    first-measured-phase inflation that made BENCH_r03's throughput negative.
+    A non-positive median retries ``retries`` times, then falls back to the
+    long loop's per-iter mean (includes dispatch overhead — a conservative
+    lower throughput bound, never a negative one)."""
+    for run in (run_a, run_b):
+        run()  # compile
+        run()  # throwaway warm rep
+    slope = None
+    for attempt in range(retries + 1):
+        diffs = []
+        for _ in range(max(reps, 1)):
+            t0 = time.perf_counter()
+            run_a()
+            ta = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            run_b()
+            tb = time.perf_counter() - t0
+            diffs.append(tb - ta)
+        diffs.sort()
+        slope = diffs[len(diffs) // 2] / (iters_b - iters_a)
+        if slope > 0:
+            return slope
+        if verbose and attempt < retries:
+            print(f"# non-positive slope {slope:.6f}s/iter — retrying",
+                  flush=True)
+    t0 = time.perf_counter()
+    run_b()
+    fallback = (time.perf_counter() - t0) / iters_b
+    if verbose:
+        print(f"# slope stayed non-positive ({slope:.6f}); using "
+              f"conservative per-iter mean {fallback:.6f}s", flush=True)
+    return fallback
+
+
 def device_slope_time(fn_of_key: Callable[..., jnp.ndarray],
                       key: jax.Array, *args,
                       iters_a: int = 2, iters_b: int = 12,
                       reps: int = 3) -> float:
-    """Seconds per invocation of ``fn_of_key(key, *args)`` (scalar return).
-
-    Interleaved repeated slope (round 4 — same hardening as bench.py): the
-    short and long loops alternate for ``reps`` pairs after a compile + one
-    throwaway warm rep each, and the MEDIAN pair difference is used — a
-    single (short, long) pair is vulnerable to the first-measured-phase
-    inflation that produced BENCH_r03's negative throughput. A non-positive
-    median falls back to the long loop's per-iter mean (conservative).
+    """Seconds per invocation of ``fn_of_key(key, *args)`` (scalar return),
+    via :func:`interleaved_slope` over in-graph fori loops.
 
     Pass large arrays through ``*args`` rather than closing over them —
     closed-over arrays become jit CONSTANTS, which this image ships to the
@@ -69,27 +108,13 @@ def device_slope_time(fn_of_key: Callable[..., jnp.ndarray],
             def body(i, acc):
                 return acc + fn_of_key(jax.random.fold_in(k, i), *a).astype(jnp.float32)
             return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
-        return run
 
-    runs = {iters: make(iters) for iters in (iters_a, iters_b)}
-    for run in runs.values():
-        float(run(key, *args))  # compile
-        float(run(key, *args))  # throwaway warm rep
-    diffs = []
-    for _ in range(max(reps, 1)):
-        ts = {}
-        for iters, run in runs.items():
-            t0 = time.perf_counter()
+        def go():
             float(run(key, *args))
-            ts[iters] = time.perf_counter() - t0
-        diffs.append(ts[iters_b] - ts[iters_a])
-    diffs.sort()
-    slope = diffs[len(diffs) // 2] / (iters_b - iters_a)
-    if slope <= 0:
-        t0 = time.perf_counter()
-        float(runs[iters_b](key, *args))
-        slope = (time.perf_counter() - t0) / iters_b
-    return slope
+        return go
+
+    return interleaved_slope(make(iters_a), make(iters_b), iters_a, iters_b,
+                             reps=reps)
 
 
 @contextlib.contextmanager

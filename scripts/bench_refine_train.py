@@ -8,7 +8,6 @@ future rounds a regression target alongside bench.py's stage-1 metric.
 
 import json
 import os
-import time
 
 import jax
 
@@ -74,20 +73,9 @@ def main():
                                           lidf_vars, batch)))
         return go
 
-    runs = {it: make_serial(it) for it in (3, 9)}
-    for r in runs.values():
-        r()
-        r()
-    diffs = []
-    for _ in range(3):
-        ts = {}
-        for it, r in runs.items():
-            t0 = time.perf_counter()
-            r()
-            ts[it] = time.perf_counter() - t0
-        diffs.append(ts[9] - ts[3])
-    diffs.sort()
-    dt = diffs[1] / 6
+    from implicit_depth_tpu.utils.profiling import interleaved_slope
+    dt = interleaved_slope(make_serial(3), make_serial(9), 3, 9,
+                           verbose=True)
     rps = BS * static.n_rays / dt
     print(json.dumps({"metric": "refine_train_serial_rays_per_sec_per_chip",
                       "step_ms": round(dt * 1e3, 2),

@@ -9,12 +9,27 @@ declining, and compare refine recipes).
 
 import argparse
 import json
+import sys
 
 import numpy as np
 
+# only the δ-threshold accuracies (and end-voxel acc) are higher-is-better;
+# rmse/mae/abs_rel/log10/... all go down (train/metrics.py)
+HIGHER_BETTER = {"a1", "a2", "a3", "acc"}
+
 
 def load(path):
-    return [json.loads(l) for l in open(path)]
+    rows = []
+    for line in open(path):
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            rows.append(json.loads(line))
+        except json.JSONDecodeError:
+            # a partially-written tail line (run died mid-write) — skip
+            print(f"# skipping unparseable line in {path}", file=sys.stderr)
+    return rows
 
 
 def table(rows, splits, every, metrics):
@@ -22,6 +37,8 @@ def table(rows, splits, every, metrics):
     hdr = ["ep", "train_err"] + [f"{s}:{m}" for s in splits for m in metrics]
     out.append("| " + " | ".join(hdr) + " |")
     out.append("|" + "---|" * len(hdr))
+    if not rows:
+        return "\n".join(out + ["(no complete epochs in log)"])
     picks = list(range(0, len(rows), every))
     if picks[-1] != len(rows) - 1:
         picks.append(len(rows) - 1)
@@ -35,15 +52,22 @@ def table(rows, splits, every, metrics):
     return "\n".join(out)
 
 
-def saturation(rows, split, metric="a1", tail=5, higher_better=True):
+def saturation(rows, split, metric="a1", tail=5, higher_better=None):
     """Compare the tail-window mean against the best sliding window of the
     same width: saturated (still at/near peak) vs declining (peak was
-    earlier)."""
-    series = [r.get("valid", {}).get(split, {}).get(metric) for r in rows]
-    series = [s for s in series if s is not None]
-    if len(series) < tail + 1:
-        return "n/a (too few epochs)"
-    arr = np.asarray(series, np.float64)
+    earlier). Epoch labels come from each record's actual epoch number, so
+    runs with ``training.valid_interval > 1`` (sparse validation) report
+    correct epochs; the tail window is then ``tail`` VALIDATION POINTS, not
+    epochs."""
+    if higher_better is None:
+        higher_better = metric in HIGHER_BETTER
+    pts = [(r["epoch"], r.get("valid", {}).get(split, {}).get(metric))
+           for r in rows]
+    pts = [(e, v) for e, v in pts if v is not None]
+    if len(pts) < tail + 1:
+        return f"{split}:{metric} n/a (too few validation points)"
+    epochs = [e for e, _ in pts]
+    arr = np.asarray([v for _, v in pts], np.float64)
     win = np.convolve(arr, np.ones(tail) / tail, mode="valid")
     peak_i = int(np.argmax(win) if higher_better else np.argmin(win))
     tail_mean, peak = win[-1], win[peak_i]
@@ -52,7 +76,7 @@ def saturation(rows, split, metric="a1", tail=5, higher_better=True):
     else:
         ok = tail_mean <= peak + 0.02 * max(abs(peak), 1e-9)
     state = "SATURATED (tail ~= peak)" if ok else \
-        f"DECLINING (peak window at epoch ~{peak_i + tail - 1})"
+        f"DECLINING (peak window ends at epoch {epochs[peak_i + tail - 1]})"
     return (f"{split}:{metric} tail{tail}-mean={tail_mean:.4f} "
             f"best-window={peak:.4f} -> {state}")
 
@@ -73,7 +97,7 @@ def main():
     print()
     for s in splits:
         for m in metrics:
-            print(saturation(rows, s, m, higher_better=(m.startswith("a"))))
+            print(saturation(rows, s, m))
 
 
 if __name__ == "__main__":

@@ -29,7 +29,9 @@ class FakeClock:
 
 def _patch_clock(bench, monkeypatch):
     clock = FakeClock()
-    monkeypatch.setattr(bench.time, "perf_counter", clock.perf_counter)
+    # bench._slope delegates to the shared interleaved_slope core
+    from implicit_depth_tpu.utils import profiling
+    monkeypatch.setattr(profiling.time, "perf_counter", clock.perf_counter)
     return clock
 
 
