@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from implicit_depth_tpu.models.lidf import hard_neg_mean
 from implicit_depth_tpu.parallel.hardneg import sharded_hard_neg_mean
@@ -30,7 +30,7 @@ def test_sharded_hard_neg_matches_global(mesh, rng):
         mesh=mesh,
         in_specs=(P("data"), P("data")),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     got = fn(jnp.asarray(x), jnp.asarray(mask))
     np.testing.assert_allclose(float(got), float(want), rtol=1e-6)
