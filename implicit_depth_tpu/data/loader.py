@@ -87,12 +87,26 @@ class DataLoader:
             pass
 
     def _epoch_indices(self, epoch: int) -> np.ndarray:
+        """Per-host index slice for one epoch.
+
+        DistributedSampler semantics (train_lidf.py:162-175): every host sees
+        the same number of batches, coverage is every-sample-once with
+        wrap-around padding. One deliberate divergence: hosts take BLOCK
+        slices of each global-batch window (host h owns rows
+        [h·B_local, (h+1)·B_local) of every global batch) rather than
+        torch's `rank::world` interleave — with the feed's hosts-major mesh
+        (parallel/mesh.py) the assembled GLOBAL batch is then identical for
+        every process-count topology, so runs reproduce (and are testable
+        bit-for-bit modulo reduction order) across 1-host and N-host
+        launches; an interleave would permute the batch and reshuffle the
+        position-keyed ray sampling RNG (tests/test_multiprocess.py).
+        """
         n = len(self.dataset)
         idx = np.arange(n)
         if self.shuffle:
             idx = np.random.default_rng(self.seed + epoch).permutation(n)
-        # pad so every host sees the same number of batches (DistributedSampler
-        # semantics: wrap around rather than drop)
+        # pad so every host sees the same number of batches (wrap around
+        # rather than drop)
         per_host = -(-n // self.num_hosts)
         if self.drop_last:
             per_host = (per_host // self.batch_size) * self.batch_size
@@ -101,7 +115,13 @@ class DataLoader:
             idx = np.concatenate([idx, idx[: total - n]])
         else:
             idx = idx[:total]
-        return idx[self.host_id::self.num_hosts]
+        g = self.batch_size * self.num_hosts
+        full = (total // g) * g
+        head = idx[:full].reshape(-1, self.num_hosts, self.batch_size)[
+            :, self.host_id, :].reshape(-1)
+        # ragged tail (non-drop_last only): fall back to an interleave
+        tail = idx[full:][self.host_id::self.num_hosts]
+        return np.concatenate([head, tail])
 
     def steps_per_epoch(self) -> int:
         n = len(self._epoch_indices(0))

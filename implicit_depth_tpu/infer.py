@@ -35,7 +35,6 @@ import numpy as np
 from implicit_depth_tpu.builder import build_lidf, build_refine, build_static
 from implicit_depth_tpu.config import Config, load_config
 from implicit_depth_tpu.data.augmentation import standardize_image
-from implicit_depth_tpu.geometry.camera import compute_xyz_np
 from implicit_depth_tpu.models.lidf import prepare_inputs
 
 Intrinsics = Union[Tuple[float, float, float, float], Sequence[float]]
@@ -149,14 +148,14 @@ class DepthCompleter:
         if rgb.dtype == np.uint8:
             rgb = standardize_image(rgb)
         depth = depth.astype(np.float32)
-        zeros_hw3 = np.zeros((self.h, self.w, 3), np.float32)
         return {
             "rgb": rgb.astype(np.float32),
             "depth_corrupt": depth,
-            "xyz_corrupt": compute_xyz_np(depth, fx, fy, cx, cy),
-            # GT-only keys, unused by the mask_type='all' forward: the
-            # prepared gt_pos feeds only the loss path, which never runs here
-            "xyz": zeros_hw3,
+            # "depth" (GT) is all-zero at serving; the packed feed derives
+            # xyz_corrupt = backproject(depth_corrupt) ON DEVICE and
+            # xyz = backproject(0) = 0 — exactly the GT-placeholder zeros
+            # the loss path (which never runs here) would have seen
+            "depth": np.zeros((self.h, self.w), np.float32),
             "corrupt_mask": (depth == 0).astype(np.float32),
             "valid_mask": (depth != 0).astype(np.float32),
             "fx": np.float32(fx), "fy": np.float32(fy),
@@ -196,22 +195,33 @@ class DepthCompleter:
             orig_hw.append(hw)
         while len(samples) < self.batch_size:  # pad to the compiled shape
             samples.append(samples[-1])
-        batch = {k: jnp.asarray(np.stack([s[k] for s in samples]))
-                 for k in samples[0]}
-        if self.mesh is not None:
-            from implicit_depth_tpu.parallel.mesh import shard_batch
-            batch = shard_batch(batch, self.mesh)
+        # packed single-transfer feed (train/feed.py): ONE device_put of an
+        # f16/u16-packed buffer + on-device xyz back-projection instead of
+        # ~8 separate puts of f32 arrays — measured 210 -> ~? ms/frame
+        # end-to-end through this image's remote relay (bench.py
+        # serve_frame_ms; each extra put costs ~RTT + serialization)
+        from implicit_depth_tpu.train.feed import put_batch
+        batch_np = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+        batch = put_batch(batch_np, self.mesh,
+                          axis="data" if self.mesh is not None else None,
+                          derive_xyz=True)
         completed, pred_z = self._forward(
             self.lidf_variables, self.refine_params, batch,
             jax.random.key(seed))
         completed = np.asarray(completed)[:n]
         pred_z = np.asarray(pred_z)[:n]
         out_depth = []
-        for img, (h0, w0) in zip(completed, orig_hw):
+        for img, (h0, w0), depth0 in zip(completed, orig_hw, depths):
             if (h0, w0) != (self.h, self.w):
                 import cv2
                 img = cv2.resize(img, (w0, h0),
                                  interpolation=cv2.INTER_NEAREST)
+            # exact input passthrough where depth was present: the device
+            # copy is u16-quantized by the packed feed (~0.03 mm) and the
+            # resize round-trips — the serving contract ("input depth where
+            # present") is enforced bitwise against the ORIGINAL frame
+            depth0 = np.asarray(depth0, np.float32)
+            img = np.where(depth0 == 0, img, depth0)
             out_depth.append(img)
         return {"depth": np.stack(out_depth) if len(set(orig_hw)) == 1
                 else out_depth,

@@ -50,18 +50,26 @@ def main(argv=None):
 
     # persistent compile cache by default: repeat shapes skip XLA compilation
     # entirely (the remote-TPU backend included — measured minutes saved per
-    # jit). Env vars, when set, win.
-    import jax
-    if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.expanduser("~/.cache/implicit_depth_tpu_xla"))
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # jit). Env vars, when set, win; no-op on the CPU backend (utils/cache.py).
+    from implicit_depth_tpu.utils.cache import enable_persistent_cache
 
-    # multi-host bring-up (no-op single host): ≙ dist.init_process_group
+    enable_persistent_cache()
+
+    # multi-host bring-up (no-op single host): ≙ dist.init_process_group's
+    # TCP rendezvous (src/trainers/train_lidf.py:676-682). On TPU pods the
+    # plugin autodetects topology (bare initialize()); elsewhere — including
+    # the 2-process CPU integration test — the explicit triplet env vars
+    # drive it: JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES, JAX_PROCESS_ID.
     if os.environ.get("JAX_COORDINATOR_ADDRESS"):
         import jax
-        jax.distributed.initialize()
+        kw = {}
+        if os.environ.get("JAX_NUM_PROCESSES"):
+            kw = dict(
+                coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+                num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                process_id=int(os.environ["JAX_PROCESS_ID"]),
+            )
+        jax.distributed.initialize(**kw)
 
     from implicit_depth_tpu.train.trainer import TRAINERS
 

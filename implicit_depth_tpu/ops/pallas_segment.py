@@ -1,0 +1,95 @@
+"""Pallas TPU segmented max with a VMEM-resident table (VERDICT r4 #2).
+
+The stage-2 refine path's largest remaining block is the PointNet voxel
+max-pool: 4×0.71 + 3×0.34 ms of ``jax.ops.segment_max`` scatters pooling
+~120k point rows into the per-batch (B·729)-cell table (BASELINE.md round-4
+refine trace; reference op: torch_scatter ``scatter(reduce='max')``,
+src/models/pointnet.py:27,35). This kernel is the experiment the verdict
+asked for: keep the whole (segments × C) table in VMEM as a constant-index
+output block and merge point tiles into it across a sequential grid — the
+same per-image-table shape that won twice in stage 1 (d_table accumulation,
+in-kernel slot lookup).
+
+Contract (matches ``ops/segment.segment_max0`` ONLY on its actual call
+sites): data must be NON-NEGATIVE (post-ReLU features) — the table is
+zero-initialized and empty segments read exactly 0, torch_scatter's
+zero-init semantics.
+
+Outcome note: unlike the stage-1 wins, segmented MAX has no MXU
+reformulation (max is not a semiring the MXU supports), so the merge is a
+serial read-modify-write per point row (~3 dynamic VMEM accesses each).
+See BASELINE.md "round-5 segmented-max Pallas attempt" for the measured
+verdict vs the XLA scatter.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _kernel(ids_ref, data_ref, out_ref, *, rows: int):
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    def body(i, carry):
+        sid = ids_ref[i, 0]
+        row = data_ref[pl.ds(i, 1), :]
+        cur = out_ref[pl.ds(sid, 1), :]
+        out_ref[pl.ds(sid, 1), :] = jnp.maximum(cur, row)
+        return carry
+
+    jax.lax.fori_loop(0, rows, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("num_segments", "rows_per_tile",
+                                             "interpret"))
+def pallas_segment_max0(data: jnp.ndarray,
+                        segment_ids: jnp.ndarray,
+                        num_segments: int,
+                        valid: jnp.ndarray | None = None,
+                        *,
+                        rows_per_tile: int = 4096,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Max-pool NON-NEGATIVE rows of ``data`` (N, C) into ``num_segments``
+    buckets; empty segments are exactly 0. Same signature/semantics as
+    ``segment.segment_max0`` restricted to data >= 0."""
+    n, c = data.shape
+    cp = _round_up(max(c, 1), 128)
+    sp = _round_up(num_segments + 1, 8)   # +1: trash row for invalid rows
+    t = min(rows_per_tile, _round_up(n, 8))
+    np_ = _round_up(n, t)
+
+    ids = segment_ids.astype(jnp.int32)
+    if valid is not None:
+        ids = jnp.where(valid, ids, num_segments)
+    if np_ > n:
+        ids = jnp.pad(ids, (0, np_ - n), constant_values=num_segments)
+        data = jnp.pad(data, ((0, np_ - n), (0, cp - c)))
+    elif cp > c:
+        data = jnp.pad(data, ((0, 0), (0, cp - c)))
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, rows=t),
+        grid=(np_ // t,),
+        in_specs=[
+            pl.BlockSpec((t, 1), lambda j: (j, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((t, cp), lambda j: (j, 0)),
+        ],
+        out_specs=pl.BlockSpec((sp, cp), lambda j: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((sp, cp), data.dtype),
+        interpret=interpret,
+    )(ids[:, None], data)
+    return out[:num_segments, :c]

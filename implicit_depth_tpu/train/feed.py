@@ -29,6 +29,7 @@ the NIC feed path.
 from __future__ import annotations
 
 import functools
+import os
 import queue
 import threading
 from typing import Any, Dict, Iterator, Optional, Tuple
@@ -36,11 +37,22 @@ from typing import Any, Dict, Iterator, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from implicit_depth_tpu.geometry.camera import compute_xyz
+from implicit_depth_tpu.parallel.mesh import put_global
 
 _SCALAR_KEYS = ("fx", "fy", "cx", "cy")
+
+# depth maps ship as u16 fixed-point over [0, per-batch max] (VERDICT r4 #5):
+# error <= max/65535/2 (~0.03 mm at 4 m — far below the 2 mm the eval's 5%
+# delta threshold resolves), zeros (missing depth) map to EXACTLY 0, and the
+# f32 payload halves again — which directly stretches the OOM horizon of this
+# image's plugin-side device_put host-RSS leak (~12 MB/step retained). The
+# per-batch scale rides in the f32 scalar tail. IDT_FEED_U16=0 restores the
+# f32 path (A/B switch; read once at import like IDT_DECODE_PACK_L1).
+_U16_KEYS = ("depth", "depth_corrupt")
+U16_FEED = os.environ.get("IDT_FEED_U16", "1") != "0"
 
 
 def _is_f16_safe(key: str) -> bool:
@@ -50,24 +62,30 @@ def _is_f16_safe(key: str) -> bool:
 
 
 def pack_batch(batch: Dict[str, np.ndarray], derive_xyz: bool = False
-               ) -> Tuple[np.ndarray, np.ndarray, Tuple]:
-    """Split a host batch into (f32_payload, f16_payload, spec).
+               ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, Tuple]:
+    """Split a host batch into (f32, f16, u16 payloads, spec).
 
-    f32 payload: (B, n32 + 4) — per-pixel f32 keys flattened column-wise,
-    with the four intrinsics scalars appended as trailing columns.
-    f16 payload: (B, n16) — rgb + masks.
-    ``spec`` is a hashable description consumed by :func:`unpack_batch`.
+    f32 payload: (B, n32 + 4 + n_u16) — per-pixel f32 keys flattened
+    column-wise, the four intrinsics scalars, then one dequantization scale
+    per u16 key. f16 payload: (B, n16) — rgb + masks. u16 payload: (B, nu16)
+    — depth maps as per-batch fixed point. ``spec`` is a hashable
+    description consumed by :func:`unpack_for_spec`.
     """
     b = batch["depth"].shape[0]
     h, w = batch["depth"].shape[1:3]
-    f32_keys, f16_keys = [], []
+    f32_keys, f16_keys, u16_keys = [], [], []
     for k in sorted(batch):
         if k in _SCALAR_KEYS or not isinstance(batch[k], np.ndarray) \
                 or batch[k].ndim < 3:
             continue
         if derive_xyz and k in ("xyz", "xyz_corrupt"):
             continue
-        (f16_keys if _is_f16_safe(k) else f32_keys).append(k)
+        if U16_FEED and k in _U16_KEYS:
+            u16_keys.append(k)
+        elif _is_f16_safe(k):
+            f16_keys.append(k)
+        else:
+            f32_keys.append(k)
 
     def cols(keys, dtype):
         if not keys:
@@ -81,31 +99,51 @@ def pack_batch(batch: Dict[str, np.ndarray], derive_xyz: bool = False
     f16_pay, f16_shapes = cols(f16_keys, np.float16)
     scal = np.stack([np.asarray(batch[k], np.float32).reshape(b)
                      for k in _SCALAR_KEYS], axis=1)        # (B, 4)
+    if u16_keys:
+        flats = [np.ascontiguousarray(np.maximum(batch[k], 0.0),
+                                      np.float32).reshape(b, -1)
+                 for k in u16_keys]
+        u16_shapes = tuple((k, batch[k].shape[1:]) for k in u16_keys)
+        scales = np.stack([np.maximum(f.max(axis=1), 1e-12) for f in flats],
+                          axis=1).astype(np.float32)        # (B, n_u16)
+        u16_pay = np.concatenate(
+            [np.round(f * (65535.0 / scales[:, i:i + 1])).astype(np.uint16)
+             for i, f in enumerate(flats)], axis=1)
+        scal = np.concatenate([scal, scales], axis=1)
+    else:
+        u16_shapes = ()
+        u16_pay = np.zeros((b, 0), np.uint16)
     f32_pay = np.concatenate([f32_pay, scal], axis=1)
-    spec = (f32_shapes, f16_shapes, (h, w), bool(derive_xyz))
-    return f32_pay, f16_pay, spec
+    spec = (f32_shapes, f16_shapes, u16_shapes, (h, w), bool(derive_xyz))
+    return f32_pay, f16_pay, u16_pay, spec
 
 
-def fuse_bytes(f32_pay: np.ndarray, f16_pay: np.ndarray) -> np.ndarray:
-    """Concatenate both payloads into ONE uint8 buffer per batch row.
+def fuse_bytes(f32_pay: np.ndarray, f16_pay: np.ndarray,
+               u16_pay: np.ndarray | None = None) -> np.ndarray:
+    """Concatenate the payloads into ONE uint8 buffer per batch row.
 
     Through this image's remote-TPU relay a device_put issued while compute
     is queued pays a ~40 ms serialization penalty PER CALL (measured,
-    BASELINE.md) — so the two typed payloads ship as a single transfer and
-    are bitcast back apart on device (exact: u8->f32/f16 bitcast roundtrips
+    BASELINE.md) — so the typed payloads ship as a single transfer and are
+    bitcast back apart on device (exact: u8->f32/f16/u16 bitcast roundtrips
     verified on the real chip)."""
     b = f32_pay.shape[0]
-    return np.concatenate([f32_pay.view(np.uint8).reshape(b, -1),
-                           f16_pay.view(np.uint8).reshape(b, -1)], axis=1)
+    parts = [f32_pay.view(np.uint8).reshape(b, -1),
+             f16_pay.view(np.uint8).reshape(b, -1)]
+    if u16_pay is not None and u16_pay.size:
+        parts.append(u16_pay.view(np.uint8).reshape(b, -1))
+    return np.concatenate(parts, axis=1)
 
 
 def unpack_for_spec(spec: Tuple):
     """Pure (un-jitted) unpack fn for a pack spec — composable inside other
     jitted programs (the scanned train superstep unpacks one buffer row per
     scan iteration)."""
-    f32_shapes, f16_shapes, (h, w), derive_xyz = spec
-    n32 = sum(int(np.prod(shp)) for _, shp in f32_shapes) + len(_SCALAR_KEYS)
+    f32_shapes, f16_shapes, u16_shapes, (h, w), derive_xyz = spec
+    n32 = (sum(int(np.prod(shp)) for _, shp in f32_shapes)
+           + len(_SCALAR_KEYS) + len(u16_shapes))
     n16 = sum(int(np.prod(shp)) for _, shp in f16_shapes)
+    nu16 = sum(int(np.prod(shp)) for _, shp in u16_shapes)
 
     def unpack(buf: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         b = buf.shape[0]
@@ -113,7 +151,8 @@ def unpack_for_spec(spec: Tuple):
             buf[:, :4 * n32].reshape(b, n32, 4), jnp.float32)
         if n16:
             f16_pay = jax.lax.bitcast_convert_type(
-                buf[:, 4 * n32:].reshape(b, n16, 2), jnp.float16)
+                buf[:, 4 * n32:4 * n32 + 2 * n16].reshape(b, n16, 2),
+                jnp.float16)
         else:
             f16_pay = jnp.zeros((b, 0), jnp.float16)
         out: Dict[str, jnp.ndarray] = {}
@@ -124,11 +163,24 @@ def unpack_for_spec(spec: Tuple):
             c += n
         for i, k in enumerate(_SCALAR_KEYS):
             out[k] = f32_pay[:, c + i]
+        c += len(_SCALAR_KEYS)
+        u16_scales = f32_pay[:, c:c + len(u16_shapes)]      # (B, n_u16)
         c = 0
         for k, shp in f16_shapes:
             n = int(np.prod(shp))
             out[k] = f16_pay[:, c:c + n].reshape(b, *shp).astype(jnp.float32)
             c += n
+        if nu16:
+            u16_pay = jax.lax.bitcast_convert_type(
+                buf[:, 4 * n32 + 2 * n16:].reshape(b, nu16, 2),
+                jnp.uint16)
+            c = 0
+            for i, (k, shp) in enumerate(u16_shapes):
+                n = int(np.prod(shp))
+                q = u16_pay[:, c:c + n].astype(jnp.float32)
+                out[k] = (q * (u16_scales[:, i:i + 1] / 65535.0)
+                          ).reshape(b, *shp)
+                c += n
         if derive_xyz:
             out["xyz"] = compute_xyz(out["depth"], out["fx"], out["fy"],
                                      out["cx"], out["cy"])
@@ -150,22 +202,26 @@ def put_batch(batch: Dict[str, Any], mesh: Optional[Mesh] = None,
     """Pack + transfer (ONE device_put call) + on-device unpack.
 
     ``axis=None`` (or no mesh) replicates instead of sharding — the eval
-    path. Non-array entries (``item_path``) pass through on the host."""
+    path. Non-array entries (``item_path``) pass through on the host.
+
+    Multi-process: the batch is this host's LOCAL loader slice; the packed
+    buffer is assembled into the GLOBAL batch via ``put_global`` (each host
+    contributes the rows its own devices shard — VERDICT r4 weak #1: a raw
+    ``device_put`` onto the global sharding would be wrong here)."""
     arrays = {k: v for k, v in batch.items()
               if isinstance(v, (np.ndarray, jnp.ndarray)) or np.isscalar(v)}
     rest = {k: v for k, v in batch.items() if k not in arrays}
     arrays = {k: np.asarray(v) for k, v in arrays.items()}
-    f32_pay, f16_pay, spec = pack_batch(arrays, derive_xyz)
-    buf = fuse_bytes(f32_pay, f16_pay)
+    f32_pay, f16_pay, u16_pay, spec = pack_batch(arrays, derive_xyz)
+    buf = fuse_bytes(f32_pay, f16_pay, u16_pay)
     if mesh is not None:
-        buf = jax.device_put(buf, NamedSharding(mesh, P(axis) if axis else P()))
+        buf = put_global(buf, mesh, P(axis) if axis else P())
     out = dict(_unpack_fn(spec)(buf))
     # keys the pack skipped (non-pixel arrays, e.g. nothing today) + host rest
     for k, v in arrays.items():
         if k not in out and k not in _SCALAR_KEYS and k not in (
                 "xyz", "xyz_corrupt"):
-            dv = jax.device_put(v, NamedSharding(mesh, P())) if mesh else v
-            out[k] = dv
+            out[k] = put_global(v, mesh, P()) if mesh else v
     out.update(rest)
     return out
 
@@ -179,10 +235,10 @@ def pack_super(batches, derive_xyz: bool = False
     for b in batches:
         arrays = {k: np.asarray(v) for k, v in b.items()
                   if isinstance(v, (np.ndarray, jnp.ndarray)) or np.isscalar(v)}
-        f32_pay, f16_pay, spec = pack_batch(arrays, derive_xyz)
+        f32_pay, f16_pay, u16_pay, spec = pack_batch(arrays, derive_xyz)
         spec0 = spec0 or spec
         assert spec == spec0, "superbatch members must share shapes"
-        bufs.append(fuse_bytes(f32_pay, f16_pay))
+        bufs.append(fuse_bytes(f32_pay, f16_pay, u16_pay))
     return np.stack(bufs), spec0
 
 
@@ -211,9 +267,8 @@ class DeviceFeeder:
             [{k: v for k, v in b.items() if k != "item_path"} for b in group],
             self.derive_xyz)
         if self.mesh is not None:
-            sh = NamedSharding(self.mesh,
-                               P(None, self.axis) if self.axis else P())
-            buf = jax.device_put(buf, sh)
+            buf = put_global(buf, self.mesh,
+                             P(None, self.axis) if self.axis else P())
         return ("super", buf, spec, len(group))
 
     def epoch(self, epoch: int = 0,

@@ -76,12 +76,20 @@ class BaseTrainer:
         self.is_main = jax.process_index() == 0
         # (data × rays) mesh over ALL devices: batch shards the data axis
         # (largest divisor of the per-host batch), remaining chips split the
-        # ray dimension — no chip idles when batch < device count
+        # ray dimension — no chip idles when batch < device count.
+        # Multi-process policy (VERDICT r4 #7): the data split is computed
+        # PER HOST (gcd of the per-host batch with the LOCAL device count)
+        # and scaled by the process count, so the rays axis always stays
+        # within a host (ICI) and only data-axis collectives cross DCN —
+        # make_mesh's hosts-major grouping guarantees that layout.
         import math
-        n_dev = len(jax.devices())
-        per_host_batch = max(cfg.training.batch_size // jax.process_count(), 1)
-        n_data = math.gcd(per_host_batch, n_dev)
-        self.mesh = make_mesh((n_data, n_dev // n_data), ("data", "rays"))
+        n_local = jax.local_device_count()
+        n_procs = jax.process_count()
+        per_host_batch = max(cfg.training.batch_size // n_procs, 1)
+        n_data_local = math.gcd(per_host_batch, n_local)
+        self.mesh = make_mesh((n_data_local * n_procs, n_local // n_data_local),
+                              ("data", "rays"))
+        self.per_host_batch = per_host_batch
         self.ray_sharded = self.mesh.shape["rays"] > 1
         self.key = jax.random.key(cfg.seed or 0)
 
@@ -217,9 +225,13 @@ class BaseTrainer:
 
     # -- data ---------------------------------------------------------------
     def make_train_loader(self) -> DataLoader:
+        """Per-host loader slice. ``training.batch_size`` is the GLOBAL batch
+        (≙ the reference's per-rank ``batch_size/ngpus``, train_lidf.py:
+        162-175): each host loads ``per_host_batch`` samples per step and the
+        feed assembles them into the global batch (feed.put_batch)."""
         cfg = self.cfg
         ds = get_dataset(cfg.dataset, "train", base_seed=cfg.seed or 0)
-        return DataLoader(ds, cfg.training.batch_size, shuffle=True,
+        return DataLoader(ds, self.per_host_batch, shuffle=True,
                           seed=cfg.seed or 0, num_workers=cfg.training.num_workers,
                           host_id=jax.process_index(), num_hosts=jax.process_count(),
                           worker_type=cfg.training.get("worker_type", "thread"))
@@ -387,6 +399,11 @@ class LIDFTrainer(BaseTrainer):
                 name=cfg.get("checkpoint_name", "latest_network"))
             self.state = self.state.replace(params=params, batch_stats=bstats)
             print(f"loaded weights from {cfg.checkpoint_path}")
+        if jax.process_count() > 1:
+            # multi-process restores come back as host-local leaves
+            # (checkpoint.py takes the collective-free raw path) — put them
+            # back onto the global mesh
+            self.state = replicate(self.state, self.mesh)
 
         self.train_step = make_lidf_train_step(cfg, self.model, mesh=self.mesh)
         self.train_superstep = make_lidf_train_superstep(cfg, self.model,
@@ -579,6 +596,8 @@ class RefineTrainer(BaseTrainer):
                 name=cfg.get("checkpoint_name", "latest_network"))
             self.state = self.state.replace(params=params)
             print(f"loaded refine weights from {cfg.checkpoint_path}")
+        if jax.process_count() > 1:
+            self.state = replicate(self.state, self.mesh)  # see LIDFTrainer
 
         self.train_step = make_refine_train_step(cfg, self.lidf_model,
                                                  self.refine_model,

@@ -7,15 +7,12 @@ future rounds a regression target alongside bench.py's stage-1 metric.
 """
 
 import json
-import os
 
 import jax
 
-if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/implicit_depth_tpu_xla"))
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from implicit_depth_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
 
 import jax.numpy as jnp
 import numpy as np

@@ -28,8 +28,36 @@ def test_pack_unpack_roundtrip():
             np.testing.assert_allclose(got, v, atol=2e-3)
         elif k.endswith("mask"):
             np.testing.assert_array_equal(got, v)  # {0,1} exact in f16
+        elif k in ("depth", "depth_corrupt"):
+            # shipped u16 fixed-point: bounded by the per-batch quant step
+            step = v.max() / 65535.0
+            np.testing.assert_allclose(got, v, atol=step * 0.51)
+            np.testing.assert_array_equal(got == 0, v == 0)  # zeros exact
         else:
             np.testing.assert_array_equal(got, v)  # f32 path bit-exact
+
+
+def test_u16_depth_quantization_properties():
+    """u16 depth feed (VERDICT r4 #5): error <= half a quant step (~0.03 mm
+    at 4 m), missing-depth zeros preserved EXACTLY, payload shrinks by
+    2 bytes/px/key vs f32."""
+    from implicit_depth_tpu.train.feed import fuse_bytes, pack_batch
+
+    batch = dict(_batch())
+    batch["depth_corrupt"] = batch["depth"] * (batch["depth"] > 1.0)
+    f32, f16, u16, spec = pack_batch(batch, derive_xyz=True)
+    b, hw = batch["depth"].shape[0], batch["depth"][0].size
+    assert u16.shape == (b, 2 * hw)
+    # depth keys moved out of the f32 section (only the 4+2 scalar tail left)
+    assert f32.shape == (b, 4 + 2)
+    out = put_batch(batch, mesh=None, derive_xyz=True)
+    for k in ("depth", "depth_corrupt"):
+        got, v = np.asarray(out[k]), batch[k]
+        np.testing.assert_allclose(got, v, atol=v.max() / 65535 * 0.51)
+        np.testing.assert_array_equal(got == 0, v == 0)
+    # byte accounting: u16 section is half the f32 bytes it replaced
+    total = fuse_bytes(f32, f16, u16).shape[1]
+    assert total == f32.shape[1] * 4 + f16.shape[1] * 2 + u16.shape[1] * 2
 
 
 def test_derive_xyz_on_device():
@@ -46,8 +74,8 @@ def test_derive_xyz_on_device():
 
 def test_pack_payload_skips_xyz_when_derived():
     batch = _batch()
-    full, _, _ = pack_batch(batch, derive_xyz=False)
-    slim, _, _ = pack_batch(batch, derive_xyz=True)
+    full, _, _, _ = pack_batch(batch, derive_xyz=False)
+    slim, _, _, _ = pack_batch(batch, derive_xyz=True)
     assert slim.shape[1] < full.shape[1]
     # 2x (H,W,3) xyz keys dropped from the f32 payload
     hw3 = batch["xyz"][0].size
@@ -59,7 +87,8 @@ def test_put_batch_sharded_on_mesh():
     mesh = Mesh(devs, ("data",))
     batch = _batch(b=2)
     out = put_batch(dict(batch), mesh=mesh, axis="data")
-    np.testing.assert_array_equal(np.asarray(out["depth"]), batch["depth"])
+    np.testing.assert_allclose(np.asarray(out["depth"]), batch["depth"],
+                               atol=batch["depth"].max() / 65535 * 0.51)
     assert len(out["depth"].sharding.device_set) == 2
 
 
@@ -84,8 +113,9 @@ def test_device_feeder_yields_all_batches():
     feeder = DeviceFeeder(_ListLoader(batches), mesh=None, axis=None)
     got = list(feeder.epoch(0))
     assert len(got) == 4
-    np.testing.assert_array_equal(np.asarray(got[2]["depth"]),
-                                  batches[2]["depth"])
+    np.testing.assert_allclose(np.asarray(got[2]["depth"]),
+                               batches[2]["depth"],
+                               atol=batches[2]["depth"].max() / 65535 * 0.51)
 
 
 def test_device_feeder_propagates_errors():
