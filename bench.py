@@ -86,7 +86,14 @@ def main():
     n_chips = jax.local_device_count()
 
     # -- stage 2: frozen LIDF + RefineNet (forward_times=2) -----------------
+    # serving config: VMEM-table Pallas segmented max in the refine PointNet
+    # (forward-only kernel — serving paths only; round-5 A/B: two-stage
+    # 18.7 vs 19.2 ms, wins 2/2 reps, BASELINE.md)
+    import dataclasses as _dc
+
     refine = build_refine(cfg, static)
+    if jax.default_backend() == "tpu":
+        refine = _dc.replace(refine, use_pallas_segmax=True)
     lidf_out0 = jax.jit(lambda v, i: model.apply(
         v, i, train=False, use_gt_label=False))(variables, inputs)
     rvars = jax.jit(lambda kk, i, o: refine.init(
@@ -168,7 +175,10 @@ def main():
         })
         mesh_rt = make_mesh((1, 1), ("data", "rays"),
                             devices=jax.devices()[:1])
-        rcore = _refine_train_core(cfg_rt, model, refine, mesh_rt)
+        # training differentiates through the PointNet: rebuild the refine
+        # model WITHOUT the forward-only segmax kernel (same params)
+        refine_t = build_refine(cfg_rt, static)
+        rcore = _refine_train_core(cfg_rt, model, refine_t, mesh_rt)
         rstate = replicate(TrainState.create(
             rvars["params"], {}, make_tx(cfg_rt.training, 100)), mesh_rt)
 

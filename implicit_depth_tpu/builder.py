@@ -71,6 +71,7 @@ def build_lidf(cfg: Config, static: LIDFStatic) -> LIDFModel:
         decode_bwd=cfg.tpu.get("decode_bwd", "xla"),
         decode_serve_table=bool(cfg.tpu.get("decode_serve_table", False)),
         remat_backbone=cfg.tpu.get("remat_backbone", False),
+        use_pallas_segmax=bool(cfg.tpu.get("use_pallas_segmax", False)),
         dtype=compute_dtype(cfg),
     )
 
@@ -94,5 +95,6 @@ def build_refine(cfg: Config, static: LIDFStatic) -> RefineModel:
         use_pallas_decode=_resolve_pallas(cfg.tpu.get("use_pallas_decode",
                                                       "auto")),
         decode_rows_per_tile=cfg.tpu.get("refine_decode_rows_per_tile", 2000),
+        use_pallas_segmax=bool(cfg.tpu.get("use_pallas_segmax", False)),
         dtype=compute_dtype(cfg),
     )

@@ -302,6 +302,10 @@ _DEFAULTS: Dict[str, Any] = {
         "refine_decode_rows_per_tile": 2000,  # stage-2 fused IEF decode tile
                                               # (divides R=20k: no pad pass;
                                               # 512/1024/2048 all within noise)
+        "use_pallas_segmax": False,  # VMEM-table PointNet voxel max-pool
+                                     # (ops/pallas_segment.py) — fwd-only
+                                     # (no VJP: eval/serving paths); round-5
+                                     # A/B in BASELINE.md before enabling
         "decode_bwd": "kernel_save",  # 'kernel_save' fused + saved layer-1
                                       # pre-acts | 'kernel' fused recompute
                                       # | 'xla' recompute

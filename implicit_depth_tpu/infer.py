@@ -69,6 +69,14 @@ class DepthCompleter:
         self.lidf = build_lidf(self.cfg, self.static)
         self.refine = build_refine(self.cfg, self.static) \
             if refine_params is not None else None
+        if self.refine is not None and jax.default_backend() == "tpu":
+            # serving is forward-only, so the no-VJP Pallas segmented-max
+            # voxel pool is safe here and measured faster (two-stage 18.7
+            # vs 19.2 ms, BASELINE.md round-5); training paths keep the
+            # XLA scatter
+            import dataclasses
+            self.refine = dataclasses.replace(self.refine,
+                                              use_pallas_segmax=True)
         if mesh == "auto":
             import math
 

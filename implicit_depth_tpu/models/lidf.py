@@ -215,6 +215,7 @@ class LIDFModel(nn.Module):
                                       # kernel (in-kernel one-hot voxel lookup)
                                       # instead of pre-gathered rows
     remat_backbone: bool = False  # jax.checkpoint the ResNet (trade FLOPs for HBM)
+    use_pallas_segmax: bool = False  # VMEM-table voxel max-pool (fwd-only)
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -223,6 +224,7 @@ class LIDFModel(nn.Module):
         self.resnet = resnet_cls(out_ch=self.rgb_out, stage_sizes=self.resnet_stages,
                                  dtype=self.dtype)
         self.pnet = PointNet2Stage(out_channels=self.pnet_out, gf_dim=self.pnet_gf,
+                                   use_pallas_segmax=self.use_pallas_segmax,
                                    dtype=self.dtype)
         if self.offdec_type == "IEF":
             self.offset_dec = IEF(out_dim=1, gf_dim=self.imnet_gf, n_iter=self.n_iter,

@@ -20,6 +20,10 @@ from implicit_depth_tpu.ops.segment import segment_max0
 class PointNet2Stage(nn.Module):
     out_channels: int = 128
     gf_dim: int = 32           # reference pnet_gf is the first layer width
+    # VMEM-table Pallas segmented max (ops/pallas_segment.py) instead of the
+    # XLA scatter — forward-only (no VJP): serving/eval paths only; see the
+    # round-5 A/B in BASELINE.md before enabling
+    use_pallas_segmax: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -69,17 +73,22 @@ class PointNet2Stage(nn.Module):
         128-ch scatter's bytes halve (scripts/probe_segmax.py).
         """
         relu = nn.relu
+        if self.use_pallas_segmax and not self.is_initializing():
+            from implicit_depth_tpu.ops.pallas_segment import pallas_segment_max0
+            segmax = pallas_segment_max0  # post-ReLU data >= 0: exact
+        else:
+            segmax = segment_max0
         p2s = [self._stage1(inp) for inp, _, _ in parts]
         v1 = None
         for p2, (_, seg, valid) in zip(p2s, parts):
-            m = segment_max0(p2, seg, num_segments, valid)
+            m = segmax(p2, seg, num_segments, valid)
             v1 = m if v1 is None else jnp.maximum(v1, m)
         v1 = relu(self.v1_mlp(v1.astype(self.dtype)))
 
         v2 = None
         for p2, (_, seg, valid) in zip(p2s, parts):
             p5 = self._stage2(p2, v1[seg])
-            m = segment_max0(p5, seg, num_segments, valid)
+            m = segmax(p5, seg, num_segments, valid)
             v2 = m if v2 is None else jnp.maximum(v2, m)
         v2 = relu(self.v2_mlp(v2.astype(self.dtype))).astype(jnp.float32)
         return v2

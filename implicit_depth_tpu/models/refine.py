@@ -69,10 +69,12 @@ class RefineModel(nn.Module):
     offset_range: tuple = (-0.2, 0.2)
     use_pallas_decode: bool = False   # fused TPU kernel for the IEF decode
     decode_rows_per_tile: int = 2000  # kernel tile (rows = rays)
+    use_pallas_segmax: bool = False   # VMEM-table voxel max-pool (fwd-only)
     dtype: Any = jnp.float32
 
     def setup(self):
         self.pnet = PointNet2Stage(out_channels=self.pnet_out, gf_dim=self.pnet_gf,
+                                   use_pallas_segmax=self.use_pallas_segmax,
                                    dtype=self.dtype)
         if self.offdec_type == "IEF":
             self.offset_dec = IEF(out_dim=1, gf_dim=self.imnet_gf, n_iter=self.n_iter,

@@ -37,14 +37,19 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(ids_ref, data_ref, out_ref, *, rows: int):
+    # ids_ref: the FULL (N_pad,) id vector as a scalar-prefetch SMEM arg —
+    # a windowed (T, 1) SMEM operand allocates ~1 KB/row on Mosaic and
+    # blows the 1 MB SMEM budget; the flat prefetched vector is 4 B/row
     j = pl.program_id(0)
 
     @pl.when(j == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
+    base = j * rows
+
     def body(i, carry):
-        sid = ids_ref[i, 0]
+        sid = ids_ref[base + i]
         row = data_ref[pl.ds(i, 1), :]
         cur = out_ref[pl.ds(sid, 1), :]
         out_ref[pl.ds(sid, 1), :] = jnp.maximum(cur, row)
@@ -66,6 +71,13 @@ def pallas_segment_max0(data: jnp.ndarray,
     buckets; empty segments are exactly 0. Same signature/semantics as
     ``segment.segment_max0`` restricted to data >= 0."""
     n, c = data.shape
+    out_dtype = data.dtype
+    if data.dtype == jnp.bfloat16:
+        # Mosaic cannot do dynamic single-row (sublane) accesses on packed
+        # bf16 tiles ("index ... multiple of 8"); the row merge is
+        # latency-bound, not bandwidth-bound, so computing in f32 costs
+        # little — results cast back (exact: bf16 values are f32-exact)
+        data = data.astype(jnp.float32)
     cp = _round_up(max(c, 1), 128)
     sp = _round_up(num_segments + 1, 8)   # +1: trash row for invalid rows
     t = min(rows_per_tile, _round_up(n, 8))
@@ -82,14 +94,13 @@ def pallas_segment_max0(data: jnp.ndarray,
 
     out = pl.pallas_call(
         functools.partial(_kernel, rows=t),
-        grid=(np_ // t,),
-        in_specs=[
-            pl.BlockSpec((t, 1), lambda j: (j, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((t, cp), lambda j: (j, 0)),
-        ],
-        out_specs=pl.BlockSpec((sp, cp), lambda j: (0, 0)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(np_ // t,),
+            in_specs=[pl.BlockSpec((t, cp), lambda j, ids: (j, 0))],
+            out_specs=pl.BlockSpec((sp, cp), lambda j, ids: (0, 0)),
+        ),
         out_shape=jax.ShapeDtypeStruct((sp, cp), data.dtype),
         interpret=interpret,
-    )(ids[:, None], data)
-    return out[:num_segments, :c]
+    )(ids, data)
+    return out[:num_segments, :c].astype(out_dtype)

@@ -41,6 +41,10 @@ def main():
     for tile in (512, 2048):
         variants[f"kernel_t{tile}"] = dataclasses.replace(
             refine_k, decode_rows_per_tile=tile)
+    # round-5: VMEM-table Pallas segmented max for the PointNet voxel
+    # max-pool (VERDICT r4 #2) on top of the shipped decode kernel
+    variants["kernel+segmax"] = dataclasses.replace(
+        refine_k, use_pallas_segmax=True)
 
     raw = synthetic_batch(0, BS, H, W)
     batch = {k: jnp.asarray(v) for k, v in raw.items()}
@@ -80,6 +84,7 @@ def main():
     # two-stage: refine decode flip (stage-1 kernel on), then the FULL
     # use_pallas_decode=off path (both stages XLA)
     ts_variants = {"kernel": (variants["kernel"], model),
+                   "kernel+segmax": (variants["kernel+segmax"], model),
                    "xla_refine": (variants["xla"], model),
                    "xla_both": (variants["xla"], model_x)}
     for rep in range(2):
