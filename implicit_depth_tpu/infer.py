@@ -96,6 +96,12 @@ class DepthCompleter:
 
     # -- model forward ------------------------------------------------------
     def _build_forward(self):
+        """Jitted end-to-end program for ONE packed feed spec: on-device
+        unpack (u8 buffer -> batch dict, xyz back-projection) + two-stage
+        forward + compose. Keyed per spec (``_forward(spec)``) so the whole
+        frame is ONE device dispatch — through this image's remote relay
+        each extra dispatch costs ~25 ms RTT; the packed buffer rides in
+        the execute request itself."""
         forward_times = int(self.cfg.refine.forward_times)
         use_all_pix = bool(self.cfg.refine.use_all_pix)
 
@@ -103,8 +109,10 @@ class DepthCompleter:
         shard_rays = mesh is not None and "rays" in mesh.axis_names \
             and mesh.shape["rays"] > 1
 
-        @jax.jit
-        def forward(lidf_vars, refine_params, batch, key):
+        @functools.partial(jax.jit, static_argnames=("spec",))
+        def forward(lidf_vars, refine_params, buf, key, spec):
+            from implicit_depth_tpu.train.feed import unpack_for_spec
+            batch = unpack_for_spec(spec)(buf)
             inputs = prepare_inputs(self.static, batch, key, train=False,
                                     mask_type="all")
             if shard_rays:
@@ -203,19 +211,23 @@ class DepthCompleter:
             orig_hw.append(hw)
         while len(samples) < self.batch_size:  # pad to the compiled shape
             samples.append(samples[-1])
-        # packed single-transfer feed (train/feed.py): ONE device_put of an
-        # f16/u16-packed buffer + on-device xyz back-projection instead of
-        # ~8 separate puts of f32 arrays — measured 210 -> ~? ms/frame
-        # end-to-end through this image's remote relay (bench.py
-        # serve_frame_ms; each extra put costs ~RTT + serialization)
-        from implicit_depth_tpu.train.feed import put_batch
+        # packed single-transfer feed (train/feed.py): the whole batch as
+        # ONE u8 buffer (f16 rgb/masks, u16 depths, xyz derived on device),
+        # unpacked INSIDE the forward jit — a single device dispatch per
+        # frame instead of ~8 puts + 2 dispatches (serve_frame_ms
+        # 210 -> 113 -> see BASELINE.md round-5 serving record)
+        from implicit_depth_tpu.parallel.mesh import put_global
+        from implicit_depth_tpu.train.feed import fuse_bytes, pack_batch
+        from jax.sharding import PartitionSpec as P
+
         batch_np = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
-        batch = put_batch(batch_np, self.mesh,
-                          axis="data" if self.mesh is not None else None,
-                          derive_xyz=True)
+        f32, f16, u16, spec = pack_batch(batch_np, derive_xyz=True)
+        buf = fuse_bytes(f32, f16, u16)
+        if self.mesh is not None:
+            buf = put_global(buf, self.mesh, P("data"))
         completed, pred_z = self._forward(
-            self.lidf_variables, self.refine_params, batch,
-            jax.random.key(seed))
+            self.lidf_variables, self.refine_params, buf,
+            jax.random.key(seed), spec)
         completed = np.asarray(completed)[:n]
         pred_z = np.asarray(pred_z)[:n]
         out_depth = []
