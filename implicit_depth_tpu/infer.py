@@ -225,11 +225,22 @@ class DepthCompleter:
         buf = fuse_bytes(f32, f16, u16)
         if self.mesh is not None:
             buf = put_global(buf, self.mesh, P("data"))
+        else:
+            # explicit idle-chip put before the dispatch: interleaved A/B'd
+            # vs shipping the buffer inside the execute request — a wash on
+            # latency (74-80 ms both, BASELINE.md round-5 serving record) —
+            # but the explicit put keeps the transfer OFF the execute path,
+            # avoiding the queued-put serialization pathology when frames
+            # are pipelined (CLAUDE.md relay-feed gotcha)
+            buf = jax.device_put(buf)
         completed, pred_z = self._forward(
             self.lidf_variables, self.refine_params, buf,
             jax.random.key(seed), spec)
-        completed = np.asarray(completed)[:n]
-        pred_z = np.asarray(pred_z)[:n]
+        # ONE device_get for both outputs: separate np.asarray calls are a
+        # device round-trip each (~25 ms through this image's relay)
+        completed, pred_z = jax.device_get((completed, pred_z))
+        completed = completed[:n]
+        pred_z = pred_z[:n]
         out_depth = []
         for img, (h0, w0), depth0 in zip(completed, orig_hw, depths):
             if (h0, w0) != (self.h, self.w):
